@@ -1,0 +1,11 @@
+"""Test configuration: force CPU backend with 8 virtual devices so that
+multi-chip sharding paths (jax.sharding.Mesh over 8 devices) are exercised
+without TPU hardware.  Must run before jax initializes."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
