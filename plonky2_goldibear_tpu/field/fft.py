@@ -1,0 +1,208 @@
+"""Device NTT / iFFT / coset LDE over two-adic fields.
+
+Radix-2 decimation-in-time over the last axis, batched over all leading axes.
+Field elements are pytrees (GL = (lo, hi) NamedTuple, BB = single uint32
+array, extensions = tuples), so the structural ops (reshape / concat /
+permute) are generic ``tree_map``s while the butterfly arithmetic goes
+through the field module ``F``.
+
+Conventions (matching the reference's, field/src/fft.rs:50-94):
+- ``fft(coeffs)[k] = p(g^k)`` with g = two_adic_generator(log n), natural
+  order output.
+- ``ifft`` = forward fft + index reversal (k -> n-k) + scale by n^-1.
+- ``coset_fft(coeffs, shift)``: evaluations on the coset shift * <g>
+  (field/src/polynomial/mod.rs:116).
+- ``lde``: zero-pad by 2^rate_bits then coset-fft on the generator coset
+  (field/src/polynomial/mod.rs:84-88).
+
+The current implementation is pure-jnp (one pass per stage); the Pallas
+multi-stage fused kernel lives in ``ops/`` (later rounds) and must match this
+bit-exactly.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import bb as bb_mod
+from . import gl as gl_mod
+from . import host
+
+tree_map = jax.tree_util.tree_map
+
+
+def _tmap(f, *trees):
+    return tree_map(f, *trees)
+
+
+def treshape(x, shape):
+    return _tmap(lambda a: a.reshape(shape), x)
+
+
+def tconcat(xs, axis):
+    return tree_map(lambda *leaves: jnp.concatenate(leaves, axis=axis), *xs)
+
+
+def ttake(x, idx, axis):
+    return _tmap(lambda a: jnp.take(a, idx, axis=axis), x)
+
+
+def tshape(x):
+    return jax.tree_util.tree_leaves(x)[0].shape
+
+
+def _field_mod(F):
+    """Resolve the scalar field module for twiddle construction."""
+    return F
+
+
+@lru_cache(maxsize=64)
+def _root_rows_host(field_name: str, n_log: int):
+    """Host twiddle table: row s has the 2^s twiddles w_{2^(s+1)}^j,
+    j = 0..2^s-1 (mirrors fft_root_table, reference field/src/fft.rs:12-31)."""
+    spec = host.GOLDILOCKS if field_name == "goldilocks" else host.BABYBEAR
+    rows = []
+    for s in range(n_log):
+        g = spec.two_adic_generator(s + 1)
+        row = np.empty(1 << s, dtype=np.uint64)
+        acc = 1
+        for j in range(1 << s):
+            row[j] = acc
+            acc = acc * g % spec.p
+        rows.append(row)
+    return rows
+
+
+def root_table(F, n_log: int):
+    """Device twiddle table for field module F (gl or bb)."""
+    rows = _root_rows_host(F.SPEC.name, n_log)
+    return [F.from_ints(r) for r in rows]
+
+
+@lru_cache(maxsize=64)
+def _bitrev_perm(n_log: int):
+    return jnp.asarray(np.asarray(host.reverse_index_bits_perm(n_log),
+                                  dtype=np.int32))
+
+
+def reverse_index_bits(x, axis: int = -1):
+    """Permute an axis by index bit-reversal (reference util/src/lib.rs:76)."""
+    n = tshape(x)[axis]
+    return ttake(x, _bitrev_perm(host.log2_strict(n)), axis)
+
+
+def fft(F, x, roots=None):
+    """Forward NTT over the last axis.  x: field pytree (..., n)."""
+    n = tshape(x)[-1]
+    n_log = host.log2_strict(n)
+    if n == 1:
+        return x
+    if roots is None:
+        roots = root_table(F, n_log)
+    shape = tshape(x)
+    batch = shape[:-1]
+    x = reverse_index_bits(x, axis=-1)
+    for s in range(n_log):
+        half = 1 << s          # half block
+        m = half * 2
+        nblocks = n // m
+        xv = treshape(x, batch + (nblocks, 2, half))
+        even = _tmap(lambda a: a[..., 0, :], xv)
+        odd = _tmap(lambda a: a[..., 1, :], xv)
+        w = roots[s]           # (half,) — broadcasts against (..., nblocks, half)
+        t = F.mul(odd, w)
+        top = F.add(even, t)
+        bot = F.sub(even, t)
+        x = treshape(tconcat([top, bot], axis=-1), batch + (n,))
+    return x
+
+
+def ifft(F, x, roots=None):
+    """Inverse NTT: values (..., n) -> coefficients."""
+    n = tshape(x)[-1]
+    n_log = host.log2_strict(n)
+    y = fft(F, x, roots)
+    # index reversal: coeffs[k] = y[(n - k) % n] / n
+    idx = jnp.asarray((np.arange(n, dtype=np.int64) * -1) % n, dtype=jnp.int32)
+    y = ttake(y, idx, axis=-1)
+    n_inv = host.finv(n, F.SPEC.p)
+    return F.mul(y, F.const(n_inv))
+
+
+@lru_cache(maxsize=64)
+def _power_vector_host(field_name: str, base_val: int, n: int):
+    spec = host.GOLDILOCKS if field_name == "goldilocks" else host.BABYBEAR
+    out = np.empty(n, dtype=np.uint64)
+    acc = 1
+    for i in range(n):
+        out[i] = acc
+        acc = acc * base_val % spec.p
+    return out
+
+
+def powers(F, base_val: int, n: int):
+    """Device vector [1, b, b^2, ..., b^(n-1)] for a host constant b."""
+    return F.from_ints(_power_vector_host(F.SPEC.name, base_val % F.SPEC.p, n))
+
+
+def coset_fft(F, coeffs, shift: int, roots=None):
+    """Evaluations of p on the coset shift * <g>: fft(shift^i * c_i)."""
+    n = tshape(coeffs)[-1]
+    scaled = F.mul(coeffs, powers(F, shift, n))
+    return fft(F, scaled, roots)
+
+
+def coset_ifft(F, values, shift: int, roots=None):
+    """Inverse of coset_fft."""
+    n = tshape(values)[-1]
+    coeffs = ifft(F, values, roots)
+    shift_inv = host.finv(shift % F.SPEC.p, F.SPEC.p)
+    return F.mul(coeffs, powers(F, shift_inv, n))
+
+
+def pad_coeffs(coeffs, new_n: int):
+    """Zero-pad the coefficient axis to new_n (lde, reference
+    field/src/polynomial/mod.rs:62)."""
+    shape = tshape(coeffs)
+    n = shape[-1]
+    assert new_n >= n
+    pad = [(0, 0)] * (len(shape) - 1) + [(0, new_n - n)]
+    return _tmap(lambda a: jnp.pad(a, pad), coeffs)
+
+
+def lde_coset_fft(F, coeffs, rate_bits: int, shift: int = None, roots=None):
+    """Low-degree extension: zero-pad x 2^rate_bits then coset-fft on the
+    generator coset (the PolynomialBatch commit path, reference
+    fri/oracle.rs:125-150)."""
+    if shift is None:
+        shift = F.SPEC.coset_shift
+    n = tshape(coeffs)[-1]
+    padded = pad_coeffs(coeffs, n << rate_bits)
+    return coset_fft(F, padded, shift, roots)
+
+
+# -- extension-field transforms (componentwise over the base field) ---------
+
+
+def ext_fft(E, x, roots=None):
+    """NTT of an extension-coefficient poly over a base-field domain: the
+    butterflies only multiply by base twiddles, so each of the D coefficient
+    arrays transforms independently."""
+    return tuple(fft(E.base, c, roots) for c in x)
+
+
+def ext_ifft(E, x, roots=None):
+    return tuple(ifft(E.base, c, roots) for c in x)
+
+
+def ext_coset_fft(E, x, shift: int, roots=None):
+    return tuple(coset_fft(E.base, c, shift, roots) for c in x)
+
+
+def ext_coset_ifft(E, x, shift: int, roots=None):
+    return tuple(coset_ifft(E.base, c, shift, roots) for c in x)

@@ -1,0 +1,228 @@
+"""Poseidon width-12 permutation over Goldilocks: host + batched device.
+
+Semantics match the reference permutation exactly (KAT-tested against its
+committed vectors): 4 full rounds, 22 partial rounds, 4 full rounds, x^7
+sbox, constant schedule ALL_ROUND_CONSTANTS[i + 12*round], MDS
+``out[r] = sum_i CIRC[i]*s[(i+r)%12] + DIAG[r]*s[r]``
+(reference plonky2/src/hash/poseidon_goldilocks.rs:95-108,301-302,760-925).
+We implement the *naive* partial-round schedule, which the reference proves
+equivalent to its fast-sparse-matrix path (its `consistency` test :1195).
+
+Device MDS strategy (TPU-first): decompose the state into 4 x 16-bit limb
+planes and contract each plane with the 12x12 integer MDS matrix in int32
+(max |entry| = 41, 13 terms: plane sums < 2^26 — exact), then carry-propagate
+the 5 weighted planes into a <2^75 triple-limb value and run one Goldilocks
+reduction per lane.  This replaces 13 full field-muls per row with one small
+matmul — and maps directly onto the MXU for large batches.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import gl
+from ..field.gl import GL
+from ..field.host import GOLDILOCKS
+from . import _poseidon_gl_constants as C
+
+P = GOLDILOCKS.p
+WIDTH = C.SPONGE_WIDTH
+RATE = C.SPONGE_RATE
+NUM_HASH_OUT = GOLDILOCKS.num_hash_out_elts  # 4
+
+# Dense MDS matrix M[r, j] = CIRC[(j - r) mod 12] + (r == j) * DIAG[r]
+_MDS = np.zeros((12, 12), dtype=np.int64)
+for _r in range(12):
+    for _j in range(12):
+        _MDS[_r, _j] = C.MDS_MATRIX_CIRC[(_j - _r) % 12]
+    _MDS[_r, _r] += C.MDS_MATRIX_DIAG[_r]
+_MDS_I32_T = jnp.asarray(_MDS.T.astype(np.int32))  # (j, r) for x @ M^T
+
+
+# --------------------------------------------------------------------------
+# Host (python ints) — used by the Fiat-Shamir challenger and as test oracle
+# --------------------------------------------------------------------------
+
+
+def _sbox(x: int) -> int:
+    x2 = x * x % P
+    x3 = x2 * x % P
+    x4 = x2 * x2 % P
+    return x3 * x4 % P
+
+
+def _mds_host(state: List[int]) -> List[int]:
+    out = []
+    for r in range(12):
+        acc = 0
+        for j in range(12):
+            acc += int(_MDS[r, j]) * state[j]
+        out.append(acc % P)
+    return out
+
+
+def permute_host(state: Sequence[int]) -> List[int]:
+    """The width-12 Poseidon permutation on 12 canonical ints."""
+    assert len(state) == WIDTH
+    s = [x % P for x in state]
+    round_ctr = 0
+    for phase in range(3):
+        n = C.HALF_N_FULL_ROUNDS if phase != 1 else C.N_PARTIAL_ROUNDS
+        full = phase != 1
+        for _ in range(n):
+            rc = C.ALL_ROUND_CONSTANTS[WIDTH * round_ctr: WIDTH * (round_ctr + 1)]
+            s = [(x + c) % P for x, c in zip(s, rc)]
+            if full:
+                s = [_sbox(x) for x in s]
+            else:
+                s[0] = _sbox(s[0])
+            s = _mds_host(s)
+            round_ctr += 1
+    return s
+
+
+def hash_n_to_m_no_pad_host(inputs: Sequence[int], num_outputs: int) -> List[int]:
+    """Overwrite-mode sponge (reference hash/hashing.rs:100-124)."""
+    state = [0] * WIDTH
+    for i in range(0, len(inputs), RATE):
+        chunk = inputs[i: i + RATE]
+        state[: len(chunk)] = [x % P for x in chunk]
+        state = permute_host(state)
+    outputs: List[int] = []
+    while True:
+        for x in state[:RATE]:
+            outputs.append(x)
+            if len(outputs) == num_outputs:
+                return outputs
+        state = permute_host(state)
+
+
+def hash_no_pad_host(inputs: Sequence[int]) -> List[int]:
+    return hash_n_to_m_no_pad_host(inputs, NUM_HASH_OUT)
+
+
+def hash_or_noop_host(inputs: Sequence[int]) -> List[int]:
+    """<=4 elements: zero-padded identity; else sponge hash
+    (reference plonk/config.rs:70-84)."""
+    if len(inputs) <= NUM_HASH_OUT:
+        return list(inputs) + [0] * (NUM_HASH_OUT - len(inputs))
+    return hash_no_pad_host(inputs)
+
+
+def two_to_one_host(x: Sequence[int], y: Sequence[int]) -> List[int]:
+    """Merkle compression (reference hash/hashing.rs:76-97)."""
+    state = list(x) + list(y) + [0] * (WIDTH - 2 * NUM_HASH_OUT)
+    state = permute_host(state)
+    return state[:NUM_HASH_OUT]
+
+
+# --------------------------------------------------------------------------
+# Device (batched jnp) — the Merkle/transcript hot path
+# --------------------------------------------------------------------------
+
+_ROUND_CONST_ROWS = [gl.from_ints(np.array(
+    C.ALL_ROUND_CONSTANTS[12 * r: 12 * (r + 1)], dtype=np.uint64))
+    for r in range(30)]
+
+
+def _sbox_dev(x: GL) -> GL:
+    x2 = gl.sqr(x)
+    x3 = gl.mul(x2, x)
+    x4 = gl.sqr(x2)
+    return gl.mul(x3, x4)
+
+
+def _mds_dev(state: GL) -> GL:
+    """state: GL (..., 12) -> MDS @ state via 16-bit limb-plane matmuls."""
+    planes = [
+        (state.lo & 0xFFFF).astype(jnp.int32),
+        (state.lo >> 16).astype(jnp.int32),
+        (state.hi & 0xFFFF).astype(jnp.int32),
+        (state.hi >> 16).astype(jnp.int32),
+    ]
+    acc = [jnp.matmul(p, _MDS_I32_T, preferred_element_type=jnp.int32).astype(jnp.uint32)
+           for p in planes]  # each < 2^26
+    # value = acc0 + acc1*2^16 + acc2*2^32 + acc3*2^48  (< 2^75)
+    a1lo, a1hi = acc[1] << 16, acc[1] >> 16
+    a3lo, a3hi = acc[3] << 16, acc[3] >> 16
+    n0 = acc[0] + a1lo
+    c0 = (n0 < acc[0]).astype(jnp.uint32)
+    n1a = acc[2] + a1hi + c0
+    n1 = n1a + a3lo
+    c1 = (n1 < n1a).astype(jnp.uint32)
+    n2 = a3hi + c1
+    return gl._reduce128(n0, n1, n2, jnp.zeros_like(n2))
+
+
+def permute(state: GL) -> GL:
+    """Batched Poseidon permutation; state: GL (..., 12)."""
+    round_ctr = 0
+    for phase in range(3):
+        full = phase != 1
+        n = C.HALF_N_FULL_ROUNDS if full else C.N_PARTIAL_ROUNDS
+        for _ in range(n):
+            state = gl.add(state, _ROUND_CONST_ROWS[round_ctr])
+            if full:
+                state = _sbox_dev(state)
+            else:
+                s0 = _sbox_dev(GL(state.lo[..., 0], state.hi[..., 0]))
+                state = GL(state.lo.at[..., 0].set(s0.lo),
+                           state.hi.at[..., 0].set(s0.hi))
+            state = _mds_dev(state)
+            round_ctr += 1
+    return state
+
+
+def hash_n_to_m_no_pad(inputs: GL, num_outputs: int) -> GL:
+    """Batched sponge: inputs GL (..., L) with static L -> (..., num_outputs)."""
+    shape = inputs.shape
+    L = shape[-1]
+    batch = shape[:-1]
+    state = gl.zeros(batch + (WIDTH,))
+    for i in range(0, L, RATE):
+        chunk = inputs[..., i: i + RATE]
+        k = chunk.shape[-1]
+        state = GL(
+            jnp.concatenate([chunk.lo, state.lo[..., k:]], axis=-1),
+            jnp.concatenate([chunk.hi, state.hi[..., k:]], axis=-1))
+        state = permute(state)
+    outs = [state[..., :RATE]]
+    have = RATE
+    while have < num_outputs:
+        state = permute(state)
+        outs.append(state[..., :RATE])
+        have += RATE
+    if len(outs) > 1:
+        full_out = GL(jnp.concatenate([o.lo for o in outs], axis=-1),
+                      jnp.concatenate([o.hi for o in outs], axis=-1))
+    else:
+        full_out = outs[0]
+    return full_out[..., :num_outputs]
+
+
+def hash_no_pad(inputs: GL) -> GL:
+    return hash_n_to_m_no_pad(inputs, NUM_HASH_OUT)
+
+
+def hash_or_noop(inputs: GL) -> GL:
+    L = inputs.shape[-1]
+    if L <= NUM_HASH_OUT:
+        pad = NUM_HASH_OUT - L
+        if pad:
+            cfg = [(0, 0)] * (inputs.ndim - 1) + [(0, pad)]
+            return GL(jnp.pad(inputs.lo, cfg), jnp.pad(inputs.hi, cfg))
+        return inputs
+    return hash_no_pad(inputs)
+
+
+def two_to_one(x: GL, y: GL) -> GL:
+    """Batched Merkle compression: x, y GL (..., 4) -> (..., 4)."""
+    batch = x.shape[:-1]
+    zero = gl.zeros(batch + (WIDTH - 2 * NUM_HASH_OUT,))
+    state = GL(jnp.concatenate([x.lo, y.lo, zero.lo], axis=-1),
+               jnp.concatenate([x.hi, y.hi, zero.hi], axis=-1))
+    state = permute(state)
+    return state[..., :NUM_HASH_OUT]
