@@ -1,0 +1,94 @@
+"""Merkle tree with cap: batched device hashing, host proof verification.
+
+Semantics match the reference (plonky2/src/hash/merkle_tree.rs:19,46,86-222;
+merkle_proofs.rs:54-80): leaf digest = hash_or_noop(leaf row), parent =
+two_to_one(left, right), the *cap* (layer of 2^cap_height nodes) replaces the
+root, and a proof is the sibling chain up to (excluding) the cap; the cap
+index is the remaining high bits of the leaf index.
+
+TPU-first design: instead of the reference's interleaved single digest buffer
+(recursive fork-join layout), we store one dense digest array per level and
+build the tree as log2(n) batched two_to_one rounds — each level is one
+embarrassingly-parallel hashing kernel.  Proof extraction is a per-level
+gather; sibling values are identical to the reference's.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from ..field import gl
+from ..field.host import log2_strict
+from . import poseidon_gl
+
+
+class MerkleTree:
+    """Device-built Merkle tree over GL leaves.
+
+    leaves: GL array (n_leaves, leaf_len); cap_height: cap layer height.
+    """
+
+    def __init__(self, leaves: gl.GL, cap_height: int, hasher=poseidon_gl):
+        self.hasher = hasher
+        self.leaves = leaves
+        n = leaves.shape[0]
+        self.n_leaves = n
+        self.leaf_len = leaves.shape[1]
+        self.cap_height = cap_height
+        depth = log2_strict(n)
+        assert cap_height <= depth, (cap_height, depth)
+        self.num_layers = depth - cap_height
+
+        levels = [hasher.hash_or_noop(leaves)]  # (n, 4)
+        for _ in range(self.num_layers):
+            cur = levels[-1]
+            parent = hasher.two_to_one(cur[0::2], cur[1::2])
+            levels.append(parent)
+        # levels[k] has n >> k digests; levels[-1] is the cap
+        self.levels = levels
+        self.cap = levels[-1]
+        self._host_levels = None
+
+    # -- host-side extraction ------------------------------------------------
+
+    def cap_host(self) -> List[List[int]]:
+        c = gl.to_ints(self.cap)
+        return [[int(x) for x in row] for row in c]
+
+    def _levels_host(self) -> List[np.ndarray]:
+        if self._host_levels is None:
+            self._host_levels = [gl.to_ints(lv) for lv in self.levels[:-1]]
+        return self._host_levels
+
+    def prove(self, leaf_index: int) -> List[List[int]]:
+        """Sibling digests from leaf level up to (excluding) the cap."""
+        levels = self._levels_host()
+        siblings = []
+        idx = leaf_index
+        for k in range(self.num_layers):
+            sib = levels[k][idx ^ 1]
+            siblings.append([int(x) for x in sib])
+            idx >>= 1
+        return siblings
+
+    def leaf_host(self, leaf_index: int) -> List[int]:
+        row = gl.to_ints(self.leaves[leaf_index])
+        return [int(x) for x in row]
+
+
+def verify_merkle_proof_to_cap(leaf_data: Sequence[int], leaf_index: int,
+                               cap: Sequence[Sequence[int]],
+                               siblings: Sequence[Sequence[int]],
+                               hasher=poseidon_gl) -> bool:
+    """Host verification (reference hash/merkle_proofs.rs:54-80)."""
+    current = hasher.hash_or_noop_host(list(leaf_data))
+    index = leaf_index
+    for sib in siblings:
+        if index & 1:
+            current = hasher.two_to_one_host(list(sib), current)
+        else:
+            current = hasher.two_to_one_host(current, list(sib))
+        index >>= 1
+    return current == list(cap[index])
