@@ -85,9 +85,14 @@ def root_table(F, n_log: int):
 
 
 @lru_cache(maxsize=64)
+def _bitrev_perm_host(n_log: int):
+    return np.asarray(host.reverse_index_bits_perm(n_log), dtype=np.int32)
+
+
 def _bitrev_perm(n_log: int):
-    return jnp.asarray(np.asarray(host.reverse_index_bits_perm(n_log),
-                                  dtype=np.int32))
+    # NOTE: only the numpy array is cached — caching a jnp array would leak
+    # tracers across jit traces.
+    return jnp.asarray(_bitrev_perm_host(n_log))
 
 
 def reverse_index_bits(x, axis: int = -1):

@@ -1,0 +1,151 @@
+"""Polynomial-batch commitment oracle: IFFT -> coset LDE -> Merkle-with-cap.
+
+Capability parity with the reference's ``PolynomialBatch``
+(plonky2/src/fri/oracle.rs:29-184): commit to a batch of polynomials by
+low-degree-extending each one onto the coset ``shift * <g>`` at rate
+``2^rate_bits``, transposing to per-point leaf rows, bit-reversing the leaf
+order, and Merkle-hashing with a cap.
+
+TPU-first shape discipline: polynomials live as (num_polys, n) field pytrees
+(last axis = transform axis, leading axis = batch), the whole commit is one
+jittable function (`commit_values` / `commit_coeffs`), and every step is a
+batched kernel — per-column NTTs, one transpose, one gather (bit-reversal),
+log2(lde_size) hashing rounds.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import fft as fftm
+from ..field import host
+from ..hash import merkle, poseidon_gl
+
+tree_map = jax.tree_util.tree_map
+
+# Salt size when zero-knowledge blinding is on (reference fri/oracle.rs:25,
+# plonk/plonk_common.rs:43).
+SALT_SIZE = 4
+
+
+def transpose_tree(x):
+    """(num_polys, n) -> (n, num_polys) on every leaf of a field pytree."""
+    return tree_map(lambda a: a.T, x)
+
+
+def lde_values(F, coeffs, rate_bits: int, shift: Optional[int] = None,
+               roots=None):
+    """Coset LDE of a coefficient batch: (num_polys, n) -> (num_polys, n<<rate_bits)."""
+    return fftm.lde_coset_fft(F, coeffs, rate_bits, shift, roots)
+
+
+def leaves_from_lde(F, lde):
+    """LDE values (num_polys, m) -> Merkle leaf rows (m, num_polys) in
+    bit-reversed point order (reference fri/oracle.rs:110-121: transpose then
+    reverse_index_bits_in_place)."""
+    leaves = transpose_tree(lde)
+    return fftm.reverse_index_bits(leaves, axis=0)
+
+
+def commit_coeffs(F, coeffs, rate_bits: int, cap_height: int,
+                  shift: Optional[int] = None, hasher=poseidon_gl, roots=None):
+    """Jittable core: coefficient batch -> (lde, leaves, digest levels)."""
+    lde = lde_values(F, coeffs, rate_bits, shift, roots)
+    leaves = leaves_from_lde(F, lde)
+    m = fftm.tshape(leaves)[0]
+    num_layers = host.log2_strict(m) - cap_height
+    levels = merkle.build_levels(leaves, num_layers, hasher)
+    return lde, leaves, levels
+
+
+def commit_values(F, values, rate_bits: int, cap_height: int,
+                  shift: Optional[int] = None, hasher=poseidon_gl):
+    """Jittable: IFFT the value batch then commit (returns coeffs too)."""
+    coeffs = fftm.ifft(F, values)
+    return (coeffs,) + commit_coeffs(F, coeffs, rate_bits, cap_height,
+                                     shift, hasher)
+
+
+# One compiled program per (field, rate, cap, shift, hasher, shapes); modules
+# are hashable so they ride along as static args.
+_commit_coeffs_jit = jax.jit(
+    commit_coeffs, static_argnums=(0, 2, 3, 4, 5))
+_commit_values_jit = jax.jit(
+    commit_values, static_argnums=(0, 2, 3, 4, 5))
+
+
+def commit_coeffs_cached(F, coeffs, rate_bits, cap_height, shift, hasher):
+    return _commit_coeffs_jit(F, coeffs, rate_bits, cap_height, shift,
+                              hasher)
+
+
+class PolynomialBatch:
+    """Committed batch of polynomials (the FRI oracle).
+
+    Stores coefficients (for openings), the natural-order LDE values (for
+    strided quotient-domain reads, reference fri/oracle.rs:153-170), and the
+    Merkle tree over bit-reversed leaf rows.
+    """
+
+    def __init__(self, F, coeffs, rate_bits: int, cap_height: int,
+                 shift: Optional[int] = None, hasher=poseidon_gl, roots=None,
+                 blinding: bool = False, salt=None, _precomputed=None):
+        if blinding:
+            # zk salt: SALT_SIZE extra random columns hashed into every leaf
+            # (reference fri/oracle.rs:139-149). Caller passes device arrays.
+            assert salt is not None, "blinding requires salt columns"
+            coeffs_full = tree_map(
+                lambda a, s: jnp.concatenate([a, s], axis=0), coeffs, salt)
+        else:
+            coeffs_full = coeffs
+        self.F = F
+        self.coeffs = coeffs_full
+        self.rate_bits = rate_bits
+        self.cap_height = cap_height
+        self.blinding = blinding
+        self.shift = F.SPEC.coset_shift if shift is None else shift
+        self.hasher = hasher
+        if _precomputed is None:
+            self.lde, leaves, levels = commit_coeffs_cached(
+                F, coeffs_full, rate_bits, cap_height, self.shift, hasher)
+        else:
+            self.lde, leaves, levels = _precomputed
+        self.num_polys, self.lde_size = fftm.tshape(self.lde)
+        self.degree = fftm.tshape(coeffs_full)[-1]
+        self.degree_bits = host.log2_strict(self.degree)
+        self.tree = merkle.MerkleTree(leaves, cap_height, hasher,
+                                      levels=levels)
+        self._lde_host = None
+
+    @classmethod
+    def from_values(cls, F, values, rate_bits: int, cap_height: int,
+                    shift: Optional[int] = None, hasher=poseidon_gl,
+                    roots=None, blinding: bool = False, salt=None):
+        """Values on the 2-adic subgroup -> IFFT -> commit, as one fused
+        jitted program (reference fri/oracle.rs:68-91)."""
+        assert not blinding, "salted from_values: use from_coeffs with salt"
+        sh = F.SPEC.coset_shift if shift is None else shift
+        coeffs, lde, leaves, levels = _commit_values_jit(
+            F, values, rate_bits, cap_height, sh, hasher)
+        return cls(F, coeffs, rate_bits, cap_height, sh, hasher,
+                   _precomputed=(lde, leaves, levels))
+
+    # -- host-side reads -----------------------------------------------------
+
+    def lde_host(self) -> np.ndarray:
+        """Natural-order LDE values as (num_polys, lde_size) uint64."""
+        if self._lde_host is None:
+            self._lde_host = self.F.to_ints(self.lde)
+        return self._lde_host
+
+    def get_lde_values(self, index: int, step: int = 1) -> List[int]:
+        """All polys' LDE values at natural-order point ``index * step``
+        (reference fri/oracle.rs:153-170)."""
+        return [int(v) for v in self.lde_host()[:, index * step]]
+
+    def cap_host(self):
+        return self.tree.cap_host()

@@ -1,0 +1,338 @@
+"""FRI opening prover (reference plonky2/src/fri/oracle.rs:185-248,
+fri/prover.rs:22-255).
+
+TPU-first structure: the combined codeword is built in VALUES form on the
+whole LDE coset with one batched kernel per opening batch (the reference
+divides coefficient polynomials by (X - z); on the domain both yield the
+identical codeword, and the values form is embarrassingly parallel), then
+one extension IFFT recovers the coefficients that the fold rounds consume.
+Each fold round is a reshape + beta-weighted reduction + coset FFT + Merkle
+commit — all batched device work.  The PoW grind is a vectorized device
+search.  Query extraction is host-side gathers from the committed trees.
+
+Every phase is a jitted program with the Fiat-Shamir randomness (alpha
+weights, beta powers, opening points) as traced inputs, so compilations are
+reused across proofs.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import ext as ext_mod
+from ..field import fft as fftm
+from ..field import host
+from ..hash import merkle, poseidon_gl
+from ..plonk.proof import (FriInitialTreeProof, FriProof, FriQueryRound,
+                           FriQueryStep)
+
+tree_map = jax.tree_util.tree_map
+
+
+def _ext_ops(F):
+    if F.SPEC.name == "goldilocks":
+        return ext_mod.gl2
+    return ext_mod.bb4
+
+
+def reduce_openings(spec: host.FieldSpec, values: Sequence[Tuple[int, ...]],
+                    alpha: Tuple[int, ...]) -> Tuple[int, ...]:
+    """sum_i alpha^i v_i on the host (reference fri/verifier.rs
+    PrecomputedReducedOpenings)."""
+    acc = host.ext_zero(spec)
+    for v in reversed(list(values)):
+        acc = host.ext_add(spec, host.ext_mul(spec, acc, alpha), v)
+    return acc
+
+
+# --------------------------------------------------------------------------
+# combined codeword (values form) + IFFT — one jitted program per circuit
+# --------------------------------------------------------------------------
+
+
+def _combine_and_ifft(F, batch_indices, shift, ldes, weights, red_opens,
+                      points, shift_pows):
+    """batch_indices (static): per batch, list of (oracle_idx, poly_idx).
+    ldes: tuple of oracle LDE pytrees.  weights: per batch, ext array
+    (D x (P_b,)).  red_opens/points/shift_pows: per batch ext scalars.
+    Returns (values, coeffs) of the combined codeword."""
+    E = _ext_ops(F)
+    spec = F.SPEC
+    m = fftm.tshape(ldes[0])[-1]
+    w = spec.two_adic_generator(host.log2_strict(m))
+    xs = F.mul_const(fftm.powers(F, w, m), shift)
+    xs_ext = E.from_base(xs)
+
+    sum_vals = None
+    for b, polys in enumerate(batch_indices):
+        # gather the batch's LDE rows (contiguous runs per oracle)
+        rows = []
+        start = 0
+        while start < len(polys):
+            o = polys[start][0]
+            end = start
+            while end < len(polys) and polys[end][0] == o:
+                end += 1
+            idx = np.array([polys[j][1] for j in range(start, end)],
+                           dtype=np.int32)
+            rows.append(tree_map(lambda a: a[idx], ldes[o]))
+            start = end
+        stacked = fftm.tconcat(rows, axis=0)          # (P_b, m)
+        # reduced_evals_d(x) = sum_j weights[j][d] * lde_j(x)
+        reduced = tuple(
+            F.batch_sum(F.mul(stacked,
+                              tree_map(lambda a: a[:, None], weights[b][d])),
+                        axis=0)
+            for d in range(E.D))
+        numerator = E.sub(reduced, red_opens[b])
+        denominator = E.sub(xs_ext, points[b])
+        quotient = E.mul(numerator, E.inv(denominator))
+        if sum_vals is None:
+            sum_vals = quotient
+        else:
+            sum_vals = E.add(E.mul(sum_vals, shift_pows[b]), quotient)
+    coeffs = fftm.ext_coset_ifft(E, sum_vals, shift)
+    return sum_vals, coeffs
+
+
+# --------------------------------------------------------------------------
+# fold round: beta-weighted coefficient reduction + coset FFT
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0, 1, 3))
+def _fold_round_jit(F, arity, beta_pows, shift, coeffs):
+    """coeffs (m,) ext -> folded (m/arity,) ext and its values on the
+    shift-coset (reference fri/prover.rs:115-125: consecutive coefficient
+    chunks reduced by powers of beta)."""
+    E = _ext_ops(F)
+    m = fftm.tshape(coeffs[0])[-1]
+    chunked = tuple(tree_map(lambda a: a.reshape(m // arity, arity), c)
+                    for c in coeffs)
+    folded = None
+    for r in range(arity):
+        c_r = tuple(tree_map(lambda a: a[:, r], c) for c in chunked)
+        term = E.mul(c_r, beta_pows[r])
+        folded = term if folded is None else E.add(folded, term)
+    values = fftm.ext_coset_fft(E, folded, shift)
+    return folded, values
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _round_commit_jit(F, values, arity, cap_height, hasher=poseidon_gl):
+    """Bit-reversed ext values -> flattened coset leaves + digest levels
+    (reference fri/prover.rs:104-110)."""
+    E = _ext_ops(F)
+    m = fftm.tshape(values[0])[-1]
+    rev = fftm.reverse_index_bits(values, axis=-1)
+    chunks = [tree_map(lambda a: a.reshape(m // arity, arity), c)
+              for c in rev]
+    stacked = tree_map(lambda *ls: jnp.stack(ls, axis=-1), *chunks)
+    leaves = tree_map(lambda a: a.reshape(m // arity, arity * E.D), stacked)
+    num_layers = host.log2_strict(m // arity) - cap_height
+    levels = merkle.build_levels(leaves, num_layers, hasher)
+    return leaves, levels
+
+
+def fri_proof(F, initial_trees, lde_coeffs, lde_values, challenger,
+              fri_params, hasher=poseidon_gl) -> FriProof:
+    """reference fri/prover.rs:22-77."""
+    spec = F.SPEC
+    E = _ext_ops(F)
+    cap_height = fri_params.config.cap_height
+
+    # ---- commit phase (reference fri/prover.rs:83-133) ----
+    trees: List[merkle.MerkleTree] = []
+    coeffs = lde_coeffs
+    values = lde_values
+    shift = spec.coset_shift
+    for arity_bits in fri_params.reduction_arity_bits:
+        arity = 1 << arity_bits
+        leaves, levels = _round_commit_jit(F, values, arity, cap_height,
+                                           hasher)
+        tree = merkle.MerkleTree(leaves, cap_height, hasher, levels=levels)
+        challenger.observe_cap(tree.cap_host())
+        trees.append(tree)
+
+        beta = challenger.get_extension_challenge()
+        beta_pows = tuple(
+            _ext_scalar_dev(F, host.ext_pow(spec, beta, r))
+            for r in range(arity))
+        shift = pow(shift, arity, spec.p)
+        coeffs, values = _fold_round_jit(F, arity, beta_pows, shift, coeffs)
+
+    # truncate final coefficients by the rate: the dropped ones are zero
+    # (reference fri/prover.rs:127-131)
+    m = fftm.tshape(coeffs[0])[-1]
+    keep = m >> fri_params.config.rate_bits
+    final_host = E.to_ints(tuple(tree_map(lambda a: a[:keep], c)
+                                 for c in coeffs))
+    final_poly = [tuple(int(final_host[d][i]) for d in range(E.D))
+                  for i in range(keep)]
+    challenger.observe_extension_elements(final_poly)
+
+    # ---- PoW grind (reference fri/prover.rs:136-188) ----
+    pow_witness = fri_proof_of_work(F, challenger, fri_params.config, hasher)
+    challenger.observe_element(pow_witness)
+    pow_response = challenger.get_challenge()
+    min_lz = fri_params.config.proof_of_work_bits + (64 - spec.bits)
+    assert _leading_zeros64(pow_response) >= min_lz
+
+    # ---- query phase (reference fri/prover.rs:190-255) ----
+    n = fri_params.lde_size
+    query_rounds = []
+    for rand in challenger.get_n_challenges(
+            fri_params.config.num_query_rounds):
+        x_index = rand % n
+        query_rounds.append(
+            _query_round(E, initial_trees, trees, x_index, fri_params))
+
+    return FriProof(
+        commit_phase_merkle_caps=[t.cap_host() for t in trees],
+        query_round_proofs=query_rounds,
+        final_poly=final_poly,
+        pow_witness=pow_witness)
+
+
+def _ext_scalar_dev(F, value: Tuple[int, ...]):
+    arr = F.from_ints(np.array(list(value), dtype=np.uint64))
+    D = len(value)
+    return tuple(tree_map(lambda a: a[d], arr) for d in range(D))
+
+
+def _leading_zeros64(x: int) -> int:
+    return 64 - x.bit_length() if x else 64
+
+
+@lru_cache(maxsize=32)
+def _grind_jit(F, hasher, width, pos, rate, k, batch):
+    def grind(state_arr, start):
+        cands = start + jnp.arange(batch, dtype=jnp.uint32)
+        st = tree_map(lambda a: jnp.tile(a, (batch, 1)), state_arr)
+        # candidates < 2^32: lo = cand, hi = 0 (canonical since < p)
+        st = type(st)(st.lo.at[:, pos].set(cands),
+                      st.hi.at[:, pos].set(jnp.zeros_like(cands)))
+        out = hasher.permute(st)
+        resp_lo = out.lo[:, rate - 1]
+        resp_hi = out.hi[:, rate - 1]
+        if k >= 64:
+            ok = jnp.ones_like(resp_hi, dtype=bool)
+        elif k >= 32:
+            ok = resp_hi < jnp.uint32(1 << (k - 32))
+        else:
+            ok = (resp_hi == 0) & (resp_lo < jnp.uint32(1 << k))
+        idx = jnp.argmax(ok)
+        return ok[idx], idx
+
+    return jax.jit(grind)
+
+
+def fri_proof_of_work(F, challenger, config, hasher=poseidon_gl,
+                      batch: int = 1 << 17) -> int:
+    """Vectorized grind: find w with leading_zeros(H(transcript || w)) >=
+    pow_bits (reference fri/prover.rs:136-188).  Searches device batches of
+    candidates; any valid witness verifies, so picking the first found in a
+    batch is fine."""
+    spec = F.SPEC
+    min_lz = config.proof_of_work_bits + (64 - spec.bits)
+    state = list(challenger.sponge_state)
+    pos = len(challenger.input_buffer)
+    for i, v in enumerate(challenger.input_buffer):
+        state[i] = v
+    width = hasher.WIDTH
+    rate = hasher.RATE
+    assert pos < width
+
+    k = 64 - min_lz  # need response < 2^k
+    base_state = F.from_ints(np.array(state, dtype=np.uint64))
+    grind = _grind_jit(F, hasher, width, pos, rate, k, batch)
+
+    start = 0
+    while True:
+        found, idx = grind(base_state, np.uint32(start))
+        if bool(jax.device_get(found)):
+            return start + int(jax.device_get(idx))
+        start += batch
+        assert start < 1 << 32, "PoW grind exhausted 2^32 candidates"
+
+
+def _query_round(E, initial_trees, trees, x_index: int,
+                 fri_params) -> FriQueryRound:
+    evals_proofs = []
+    for t in initial_trees:
+        evals_proofs.append((t.tree.leaf_host(x_index),
+                             t.tree.prove(x_index)))
+    steps = []
+    for i, tree in enumerate(trees):
+        arity_bits = fri_params.reduction_arity_bits[i]
+        coset_index = x_index >> arity_bits
+        leaf = tree.leaf_host(coset_index)
+        # unflatten: consecutive D base values per ext element
+        D = E.D
+        evals = [tuple(leaf[j * D + d] for d in range(D))
+                 for j in range(len(leaf) // D)]
+        steps.append(FriQueryStep(evals=evals,
+                                  merkle_proof=tree.prove(coset_index)))
+        x_index = coset_index
+    return FriQueryRound(
+        initial_trees_proof=FriInitialTreeProof(evals_proofs=evals_proofs),
+        steps=steps)
+
+
+def prove_openings(F, instance, oracles, challenger, fri_params,
+                   hasher=poseidon_gl) -> FriProof:
+    """reference fri/oracle.rs:185-248."""
+    spec = F.SPEC
+    alpha = challenger.get_extension_challenge()
+
+    # reduced openings per batch, from the claimed opening values attached
+    # to each batch by the caller
+    reduced = [reduce_openings(spec, batch.values, alpha)
+               for batch in instance.batches]
+
+    batch_indices = tuple(
+        tuple((p.oracle_index, p.polynomial_index)
+              for p in batch.polynomials)
+        for batch in instance.batches)
+    weights = [
+        tuple_to_weight_arrays(F, [host.ext_pow(spec, alpha, j)
+                                   for j in range(len(polys))])
+        for polys in batch_indices]
+    red_opens = [_ext_scalar_dev(F, r) for r in reduced]
+    points = [_ext_scalar_dev(F, tuple(b.point)) for b in instance.batches]
+    shift_pows = [_ext_scalar_dev(F, host.ext_pow(spec, alpha, len(polys)))
+                  for polys in batch_indices]
+
+    combine = _get_combine_jit(F, oracles[0], batch_indices,
+                               spec.coset_shift)
+    values, coeffs = combine(tuple(o.lde for o in oracles), weights,
+                             red_opens, points, shift_pows)
+    return fri_proof(F, oracles, coeffs, values, challenger, fri_params,
+                     hasher)
+
+
+def tuple_to_weight_arrays(F, ext_values: List[Tuple[int, ...]]):
+    """List of host ext tuples -> D base-field device arrays (P,)."""
+    D = len(ext_values[0])
+    return tuple(
+        F.from_ints(np.array([v[d] for v in ext_values], dtype=np.uint64))
+        for d in range(D))
+
+
+def _get_combine_jit(F, anchor_oracle, batch_indices, shift):
+    """Cache the jitted combine program on the circuit's persistent
+    constants oracle."""
+    cache = getattr(anchor_oracle, "_combine_jit_cache", None)
+    if cache is None:
+        cache = {}
+        anchor_oracle._combine_jit_cache = cache
+    key = (F.SPEC.name, batch_indices, shift)
+    if key not in cache:
+        cache[key] = jax.jit(
+            partial(_combine_and_ifft, F, batch_indices, shift))
+    return cache[key]

@@ -1,0 +1,203 @@
+"""Gate framework (reference plonky2/src/gates/gate.rs:53-430).
+
+A gate defines constraint polynomials over its row's local wires/constants.
+Each gate's evaluation is written ONCE, generically over an *algebra* object
+``A``, and instantiated in two ways:
+
+- host extension algebra (python-int D-tuples) — used by the verifier at ζ
+  (reference ``eval_unfiltered``);
+- device base algebra (batched jnp field arrays over all quotient-domain
+  points at once) — used by the prover's quotient evaluation (reference
+  ``eval_unfiltered_base_batch``, but batched over the whole domain instead
+  of 32-point chunks: on TPU the whole domain is one kernel).
+
+Selector filtering (reference gate.rs:391-430): filter = prod over the
+gate's selector-group of (i - s), plus the (UNUSED - s) factor when the
+circuit has multiple selector polynomials.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from ..field import host
+
+# Placeholder selector value for rows whose gate is in another group
+# (reference gates/selectors.rs:14): u32::MAX reduced mod p at eval time.
+UNUSED_SELECTOR = (1 << 32) - 1
+
+
+class HostExtAlgebra:
+    """Extension-field algebra on python-int D-tuples (verifier side)."""
+
+    def __init__(self, spec: host.FieldSpec):
+        self.spec = spec
+
+    def from_int(self, c: int):
+        return host.ext_from_base(self.spec, c)
+
+    def zero(self):
+        return host.ext_zero(self.spec)
+
+    def one(self):
+        return host.ext_one(self.spec)
+
+    def add(self, a, b):
+        return host.ext_add(self.spec, a, b)
+
+    def sub(self, a, b):
+        return host.ext_sub(self.spec, a, b)
+
+    def neg(self, a):
+        return host.ext_neg(self.spec, a)
+
+    def mul(self, a, b):
+        return host.ext_mul(self.spec, a, b)
+
+    def mul_base_const(self, a, c: int):
+        return host.ext_scalar_mul(self.spec, a, c % self.spec.p)
+
+    def add_base_const(self, a, c: int):
+        return host.ext_add(self.spec, a, self.from_int(c))
+
+    # "scalar" = a dynamic base-field challenge: an int on the host side
+    def mul_scalar(self, a, s: int):
+        return host.ext_scalar_mul(self.spec, a, s)
+
+    def lift_scalar(self, s: int):
+        return host.ext_from_base(self.spec, s)
+
+
+class DeviceBaseAlgebra:
+    """Base-field algebra on batched device arrays (prover quotient side).
+
+    ``F`` is a device field module (field.gl / field.bb); values are field
+    arrays of shape (npoints,).
+    """
+
+    def __init__(self, F, npoints: int):
+        self.F = F
+        self.spec = F.SPEC
+        self.npoints = npoints
+
+    def from_int(self, c: int):
+        return self.F.full((), c)   # scalar, broadcasts
+
+    def zero(self):
+        return self.F.zeros(())
+
+    def one(self):
+        return self.F.ones(())
+
+    def add(self, a, b):
+        return self.F.add(a, b)
+
+    def sub(self, a, b):
+        return self.F.sub(a, b)
+
+    def neg(self, a):
+        return self.F.neg(a)
+
+    def mul(self, a, b):
+        return self.F.mul(a, b)
+
+    def mul_base_const(self, a, c: int):
+        return self.F.mul_const(a, c)
+
+    def add_base_const(self, a, c: int):
+        return self.F.add(a, self.from_int(c))
+
+    # "scalar" = a dynamic base-field challenge: a traced scalar field array
+    # on the device side (keeps challenge values out of the compiled graph
+    # so one compilation serves every proof)
+    def mul_scalar(self, a, s):
+        return self.F.mul(a, s)
+
+    def lift_scalar(self, s):
+        return s
+
+
+class EvaluationVars:
+    """local_constants / local_wires are lists of algebra values;
+    public_inputs_hash is a list of algebra values (reference plonk/vars.rs)."""
+
+    def __init__(self, local_constants: Sequence, local_wires: Sequence,
+                 public_inputs_hash: Sequence):
+        self.local_constants = list(local_constants)
+        self.local_wires = list(local_wires)
+        self.public_inputs_hash = list(public_inputs_hash)
+
+    def remove_prefix(self, n: int):
+        self.local_constants = self.local_constants[n:]
+
+
+class Gate:
+    """Base gate.  Subclasses define:
+
+    - id (reference Rust Debug-format string, for serialization parity)
+    - num_wires / num_constants / degree / num_constraints
+    - eval_unfiltered(A, vars) -> list of algebra values
+    - generators(row, local_constants) -> list of SimpleGenerator
+    - num_ops (slot capacity; 1 if the gate isn't slot-packed)
+    """
+
+    num_ops = 1
+
+    def id(self) -> str:
+        raise NotImplementedError
+
+    def num_wires(self) -> int:
+        raise NotImplementedError
+
+    def num_constants(self) -> int:
+        raise NotImplementedError
+
+    def degree(self) -> int:
+        raise NotImplementedError
+
+    def num_constraints(self) -> int:
+        raise NotImplementedError
+
+    def eval_unfiltered(self, A, vars: EvaluationVars) -> List:
+        raise NotImplementedError
+
+    def generators(self, row: int, local_constants: Sequence[int],
+                   spec) -> List:
+        return []
+
+    # identity / hashing via id string, like GateRef (reference gate.rs:311)
+    def __eq__(self, other):
+        return isinstance(other, Gate) and self.id() == other.id()
+
+    def __hash__(self):
+        return hash(self.id())
+
+    def __repr__(self):
+        return self.id()
+
+
+def compute_filter(A, row: int, group_range, s, many_selector: bool):
+    """reference gate.rs:391-404."""
+    terms = []
+    for i in range(group_range[0], group_range[1]):
+        if i != row:
+            terms.append(A.sub(A.from_int(i), s))
+    if many_selector:
+        terms.append(A.sub(A.from_int(UNUSED_SELECTOR % A.spec.p), s))
+    out = None
+    for t in terms:
+        out = t if out is None else A.mul(out, t)
+    return out if out is not None else A.one()
+
+
+def eval_filtered(A, gate: Gate, vars: EvaluationVars, row: int,
+                  selector_index: int, group_range, num_selectors: int,
+                  num_lookup_selectors: int) -> List:
+    """reference gate.rs:162-185."""
+    filt = compute_filter(A, row, group_range,
+                          vars.local_constants[selector_index],
+                          num_selectors > 1)
+    inner = EvaluationVars(
+        vars.local_constants[num_selectors + num_lookup_selectors:],
+        vars.local_wires, vars.public_inputs_hash)
+    return [A.mul(filt, c) for c in gate.eval_unfiltered(A, inner)]

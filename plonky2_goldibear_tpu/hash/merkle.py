@@ -24,13 +24,28 @@ from ..field.host import log2_strict
 from . import poseidon_gl
 
 
+def build_levels(leaves, num_layers: int, hasher=poseidon_gl):
+    """Pure/jittable tree build: leaves (n, leaf_len) -> list of digest levels.
+
+    levels[k] has n >> k digests of width NUM_HASH_OUT; levels[-1] (the
+    ``num_layers``-th) is the cap.  Each level is one batched two_to_one call
+    — the whole build is log2(n) fused device kernels.
+    """
+    levels = [hasher.hash_or_noop(leaves)]
+    for _ in range(num_layers):
+        cur = levels[-1]
+        levels.append(hasher.two_to_one(cur[0::2], cur[1::2]))
+    return levels
+
+
 class MerkleTree:
     """Device-built Merkle tree over GL leaves.
 
     leaves: GL array (n_leaves, leaf_len); cap_height: cap layer height.
     """
 
-    def __init__(self, leaves: gl.GL, cap_height: int, hasher=poseidon_gl):
+    def __init__(self, leaves: gl.GL, cap_height: int, hasher=poseidon_gl,
+                 levels=None):
         self.hasher = hasher
         self.leaves = leaves
         n = leaves.shape[0]
@@ -40,13 +55,8 @@ class MerkleTree:
         depth = log2_strict(n)
         assert cap_height <= depth, (cap_height, depth)
         self.num_layers = depth - cap_height
-
-        levels = [hasher.hash_or_noop(leaves)]  # (n, 4)
-        for _ in range(self.num_layers):
-            cur = levels[-1]
-            parent = hasher.two_to_one(cur[0::2], cur[1::2])
-            levels.append(parent)
-        # levels[k] has n >> k digests; levels[-1] is the cap
+        if levels is None:
+            levels = build_levels(leaves, self.num_layers, hasher)
         self.levels = levels
         self.cap = levels[-1]
         self._host_levels = None

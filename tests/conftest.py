@@ -4,7 +4,10 @@ without TPU hardware.  Must run before jax initializes."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the session env may preset JAX_PLATFORMS=axon (the real
+# TPU tunnel), where eager op-by-op dispatch pays a network round trip per
+# primitive. Tests must run on local CPU devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
