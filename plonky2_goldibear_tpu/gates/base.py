@@ -68,6 +68,47 @@ class HostExtAlgebra:
         return host.ext_from_base(self.spec, s)
 
 
+class HostBaseAlgebra:
+    """Base-field algebra on python ints (witness generators, host checks)."""
+
+    def __init__(self, spec: host.FieldSpec):
+        self.spec = spec
+        self.p = spec.p
+
+    def from_int(self, c: int):
+        return c % self.p
+
+    def zero(self):
+        return 0
+
+    def one(self):
+        return 1
+
+    def add(self, a, b):
+        return (a + b) % self.p
+
+    def sub(self, a, b):
+        return (a - b) % self.p
+
+    def neg(self, a):
+        return (-a) % self.p
+
+    def mul(self, a, b):
+        return a * b % self.p
+
+    def mul_base_const(self, a, c: int):
+        return a * c % self.p
+
+    def add_base_const(self, a, c: int):
+        return (a + c) % self.p
+
+    def mul_scalar(self, a, s: int):
+        return a * s % self.p
+
+    def lift_scalar(self, s: int):
+        return s % self.p
+
+
 class DeviceBaseAlgebra:
     """Base-field algebra on batched device arrays (prover quotient side).
 
@@ -165,6 +206,11 @@ class Gate:
                    spec) -> List:
         return []
 
+    def extra_constant_wires(self) -> List:
+        """(constant_index, wire_index) pairs the builder may use to route
+        user constants (reference gate.rs:285)."""
+        return []
+
     # identity / hashing via id string, like GateRef (reference gate.rs:311)
     def __eq__(self, other):
         return isinstance(other, Gate) and self.id() == other.id()
@@ -174,6 +220,36 @@ class Gate:
 
     def __repr__(self):
         return self.id()
+
+
+def ext_algebra_mul(A, spec, a, b):
+    """Multiply two extension-algebra elements (D-vectors of A-values) in
+    F_D[X]/(X^D - W) — the counterpart of the reference's ExtensionAlgebra
+    multiplication (field/src/extension_algebra.rs:13-128)."""
+    d, w = spec.ext_degree, spec.ext_w
+    acc = [None] * (2 * d - 1)
+    for i in range(d):
+        for j in range(d):
+            t = A.mul(a[i], b[j])
+            k = i + j
+            acc[k] = t if acc[k] is None else A.add(acc[k], t)
+    out = list(acc[:d])
+    for k in range(d, 2 * d - 1):
+        out[k - d] = A.add(out[k - d], A.mul_base_const(acc[k], w))
+    return out
+
+
+def ext_algebra_scalar_mul(A, a, s):
+    """Scale a D-vector of A-values by one A-value."""
+    return [A.mul(x, s) for x in a]
+
+
+def ext_algebra_sub(A, a, b):
+    return [A.sub(x, y) for x, y in zip(a, b)]
+
+
+def ext_algebra_add(A, a, b):
+    return [A.add(x, y) for x, y in zip(a, b)]
 
 
 def compute_filter(A, row: int, group_range, s, many_selector: bool):

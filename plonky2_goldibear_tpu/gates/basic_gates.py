@@ -114,6 +114,9 @@ class ConstantGate(Gate):
     # No gate generators: the builder routes constants via the paired
     # ConstantGenerators it created in add_gate (reference constant.rs:105).
 
+    def extra_constant_wires(self):
+        return [(i, i) for i in range(self.num_consts)]
+
 
 class PublicInputGate(Gate):
     """Pins wires 0..N to the public-input hash

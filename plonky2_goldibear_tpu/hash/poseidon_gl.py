@@ -120,6 +120,100 @@ def two_to_one_host(x: Sequence[int], y: Sequence[int]) -> List[int]:
 
 
 # --------------------------------------------------------------------------
+# Generic algebra rounds — shared by the PoseidonGate constraints (host-ext
+# at zeta, device-base over the quotient domain) and its witness generator.
+# These implement the reference's *fast* partial-round schedule
+# (poseidon_goldilocks.rs:632-812: partial_first_constant_layer,
+# mds_partial_layer_init with FAST_PARTIAL_ROUND_INITIAL_MATRIX, and sparse
+# per-round mds_partial_layer_fast with W_HATS/VS), which the reference's
+# `consistency` test proves equal to the naive schedule.
+# --------------------------------------------------------------------------
+
+
+def constant_layer_a(A, state, round_ctr: int):
+    return [A.add_base_const(s, C.ALL_ROUND_CONSTANTS[i + WIDTH * round_ctr])
+            for i, s in enumerate(state)]
+
+
+def sbox_monomial_a(A, x):
+    x2 = A.mul(x, x)
+    x3 = A.mul(x2, x)
+    x4 = A.mul(x2, x2)
+    return A.mul(x3, x4)
+
+
+def sbox_layer_a(A, state):
+    return [sbox_monomial_a(A, s) for s in state]
+
+
+def mds_row_shf_a(A, r: int, v):
+    res = None
+    for i in range(WIDTH):
+        t = A.mul_base_const(v[(i + r) % WIDTH], C.MDS_MATRIX_CIRC[i])
+        res = t if res is None else A.add(res, t)
+    return A.add(res, A.mul_base_const(v[r], C.MDS_MATRIX_DIAG[r]))
+
+
+def mds_layer_a(A, state):
+    return [mds_row_shf_a(A, r, state) for r in range(WIDTH)]
+
+
+def partial_first_constant_layer_a(A, state):
+    return [A.add_base_const(s, C.FAST_PARTIAL_FIRST_ROUND_CONSTANT[i])
+            for i, s in enumerate(state)]
+
+
+def mds_partial_layer_init_a(A, state):
+    result = [state[0]] + [None] * (WIDTH - 1)
+    for r in range(1, WIDTH):
+        for c in range(1, WIDTH):
+            t = A.mul_base_const(
+                state[r], C.FAST_PARTIAL_ROUND_INITIAL_MATRIX[r - 1][c - 1])
+            result[c] = t if result[c] is None else A.add(result[c], t)
+    return result
+
+
+def mds_partial_layer_fast_a(A, state, r: int):
+    mds0to0 = C.MDS_MATRIX_CIRC[0] + C.MDS_MATRIX_DIAG[0]
+    d = A.mul_base_const(state[0], mds0to0)
+    for i in range(1, WIDTH):
+        d = A.add(d, A.mul_base_const(state[i],
+                                      C.FAST_PARTIAL_ROUND_W_HATS[r][i - 1]))
+    result = [d]
+    for i in range(1, WIDTH):
+        result.append(A.add(
+            A.mul_base_const(state[0], C.FAST_PARTIAL_ROUND_VS[r][i - 1]),
+            state[i]))
+    return result
+
+
+def permute_fast_a(A, state):
+    """Full permutation via the fast partial-round schedule, over any
+    algebra.  Equals ``permute_host`` (tested)."""
+    round_ctr = 0
+    for _ in range(C.HALF_N_FULL_ROUNDS):
+        state = constant_layer_a(A, state, round_ctr)
+        state = sbox_layer_a(A, state)
+        state = mds_layer_a(A, state)
+        round_ctr += 1
+    state = partial_first_constant_layer_a(A, state)
+    state = mds_partial_layer_init_a(A, state)
+    for r in range(C.N_PARTIAL_ROUNDS):
+        state[0] = sbox_monomial_a(A, state[0])
+        if r < C.N_PARTIAL_ROUNDS - 1:
+            state[0] = A.add_base_const(state[0],
+                                        C.FAST_PARTIAL_ROUND_CONSTANTS[r])
+        state = mds_partial_layer_fast_a(A, state, r)
+    round_ctr += C.N_PARTIAL_ROUNDS
+    for _ in range(C.HALF_N_FULL_ROUNDS):
+        state = constant_layer_a(A, state, round_ctr)
+        state = sbox_layer_a(A, state)
+        state = mds_layer_a(A, state)
+        round_ctr += 1
+    return state
+
+
+# --------------------------------------------------------------------------
 # Device (batched jnp) — the Merkle/transcript hot path
 # --------------------------------------------------------------------------
 

@@ -104,5 +104,8 @@ def sharded_commit(F, coeffs, rate_bits: int, cap_height: int, mesh: Mesh,
         mesh=mesh,
         in_specs=(P("x", None),),
         out_specs=P(),
+        # the cap is all_gathered, hence replicated; the static checker
+        # can't always prove it — skip the varying-mesh-axes check
+        check_vma=False,
     )
-    return fn(coeffs)
+    return jax.jit(fn)(coeffs)

@@ -36,6 +36,25 @@ class GateInstance:
     constants: List[int]
 
 
+class _ExtInverseGenerator(gen.SimpleGenerator):
+    """Witnesses 1/a for div/inverse gadgets (reference
+    gadgets/arithmetic_extension.rs QuotientGeneratorExtension)."""
+
+    def __init__(self, a, inv_targets, spec):
+        self.a = a
+        self.inv_targets = inv_targets
+        self.spec = spec
+
+    def dependencies(self):
+        return list(self.a)
+
+    def run_once(self, witness, out):
+        vals = tuple(witness.get_target(t) for t in self.a)
+        inv = host.ext_inv(self.spec, vals)
+        for t, v in zip(self.inv_targets, inv):
+            out.append((t, v))
+
+
 class CircuitBuilder:
     def __init__(self, config: CircuitConfig,
                  spec: host.FieldSpec = host.GOLDILOCKS,
@@ -57,6 +76,8 @@ class CircuitBuilder:
         # (reference circuit_builder.rs:824-853)
         self.current_slots: Dict[str, Dict[Tuple, Tuple[int, int]]] = {}
         self.base_arithmetic_results: Dict[Tuple, tgt.Target] = {}
+        self._ext_arithmetic_results: Dict[Tuple, Tuple] = {}
+        self._ext_mul_results: Dict[Tuple, Tuple] = {}
 
     # -- targets -------------------------------------------------------------
 
@@ -89,18 +110,12 @@ class CircuitBuilder:
         assert len(constants) <= gate.num_constants(), "Too many constants."
         constants = constants + [0] * (gate.num_constants() - len(constants))
         row = len(self.gate_instances)
-        for ci, wi in self.extra_constant_wires(gate):
+        for ci, wi in gate.extra_constant_wires():
             self.constant_generators.append(
                 gen.ConstantGenerator(row, ci, wi, 0))
         self.gates[gate.id()] = gate
         self.gate_instances.append(GateInstance(gate, constants))
         return row
-
-    @staticmethod
-    def extra_constant_wires(gate):
-        if isinstance(gate, ConstantGate):
-            return [(i, i) for i in range(gate.num_consts)]
-        return []
 
     def find_slot(self, gate, params: Sequence[int],
                   constants: Sequence[int]) -> Tuple[int, int]:
@@ -254,6 +269,213 @@ class CircuitBuilder:
     def assert_one(self, x):
         self.connect(x, self.one())
 
+    # -- extension-target gadgets (reference gadgets/arithmetic_extension.rs,
+    #    iop/ext_target.rs).  An ExtensionTarget is a tuple of D targets. ---
+
+    @property
+    def D(self) -> int:
+        return self.spec.ext_degree
+
+    def add_virtual_extension_target(self) -> Tuple[tgt.Target, ...]:
+        return tuple(self.add_virtual_target() for _ in range(self.D))
+
+    def add_virtual_extension_targets(self, n: int):
+        return [self.add_virtual_extension_target() for _ in range(n)]
+
+    def constant_extension(self, coeffs) -> Tuple[tgt.Target, ...]:
+        if isinstance(coeffs, int):
+            coeffs = (coeffs,) + (0,) * (self.D - 1)
+        assert len(coeffs) == self.D
+        return tuple(self.constant(c) for c in coeffs)
+
+    def zero_extension(self):
+        return self.constant_extension(0)
+
+    def one_extension(self):
+        return self.constant_extension(1)
+
+    def convert_to_ext(self, t: tgt.Target) -> Tuple[tgt.Target, ...]:
+        return (t,) + (self.zero(),) * (self.D - 1)
+
+    def connect_extension(self, a, b):
+        for x, y in zip(a, b):
+            self.connect(x, y)
+
+    def target_as_constant_ext(self, a) -> Optional[Tuple[int, ...]]:
+        cs = tuple(self.target_as_constant(t) for t in a)
+        return None if any(c is None for c in cs) else cs
+
+    def arithmetic_extension(self, const_0: int, const_1: int, m0, m1,
+                             addend) -> Tuple[tgt.Target, ...]:
+        """c0*m0*m1 + c1*addend over the extension
+        (reference gadgets/arithmetic_extension.rs)."""
+        from ..gates.extension_gates import ArithmeticExtensionGate
+        p = self.spec.p
+        const_0 %= p
+        const_1 %= p
+        # constant folding
+        c0s = self.target_as_constant_ext(m0)
+        c1s = self.target_as_constant_ext(m1)
+        cas = self.target_as_constant_ext(addend)
+        if c0s is not None and c1s is not None and cas is not None:
+            val = host.ext_add(
+                self.spec,
+                host.ext_scalar_mul(self.spec,
+                                    host.ext_mul(self.spec, c0s, c1s),
+                                    const_0),
+                host.ext_scalar_mul(self.spec, cas, const_1))
+            return self.constant_extension(val)
+        op = (const_0, const_1, m0, m1, addend)
+        if op in self._ext_arithmetic_results:
+            return self._ext_arithmetic_results[op]
+        gate = ArithmeticExtensionGate.from_config(self.config, self.D)
+        row, i = self.find_slot(gate, [const_0, const_1], [const_0, const_1])
+        m0r, m1r, adr, outr = gate.wires_op(i)
+        for t, w in zip(m0, m0r):
+            self.connect(t, tgt.wire(row, w))
+        for t, w in zip(m1, m1r):
+            self.connect(t, tgt.wire(row, w))
+        for t, w in zip(addend, adr):
+            self.connect(t, tgt.wire(row, w))
+        result = tuple(tgt.wire(row, w) for w in outr)
+        self._ext_arithmetic_results[op] = result
+        return result
+
+    def mul_extension_with_const(self, const_0: int, m0, m1):
+        from ..gates.extension_gates import MulExtensionGate
+        p = self.spec.p
+        const_0 %= p
+        c0s = self.target_as_constant_ext(m0)
+        c1s = self.target_as_constant_ext(m1)
+        if c0s is not None and c1s is not None:
+            return self.constant_extension(host.ext_scalar_mul(
+                self.spec, host.ext_mul(self.spec, c0s, c1s), const_0))
+        op = (const_0, m0, m1)
+        if op in self._ext_mul_results:
+            return self._ext_mul_results[op]
+        gate = MulExtensionGate.from_config(self.config, self.D)
+        row, i = self.find_slot(gate, [const_0], [const_0])
+        m0r, m1r, outr = gate.wires_op(i)
+        for t, w in zip(m0, m0r):
+            self.connect(t, tgt.wire(row, w))
+        for t, w in zip(m1, m1r):
+            self.connect(t, tgt.wire(row, w))
+        result = tuple(tgt.wire(row, w) for w in outr)
+        self._ext_mul_results[op] = result
+        return result
+
+    def add_extension(self, a, b):
+        return self.arithmetic_extension(1, 1, a, self.one_extension(), b)
+
+    def sub_extension(self, a, b):
+        return self.arithmetic_extension(1, self.spec.p - 1, a,
+                                         self.one_extension(), b)
+
+    def mul_extension(self, a, b):
+        return self.mul_extension_with_const(1, a, b)
+
+    def mul_add_extension(self, a, b, c):
+        return self.arithmetic_extension(1, 1, a, b, c)
+
+    def mul_sub_extension(self, a, b, c):
+        return self.arithmetic_extension(1, self.spec.p - 1, a, b, c)
+
+    def mul_const_extension(self, c: int, a):
+        return self.arithmetic_extension(c, 0, a, self.one_extension(),
+                                         self.zero_extension())
+
+    def mul_const_add_extension(self, c: int, a, b):
+        """c*a + b (via c*a*1 + 1*b)."""
+        return self.arithmetic_extension(c, 1, a, self.one_extension(), b)
+
+    def scalar_mul_ext(self, s: tgt.Target, a):
+        """base target * ext target."""
+        return self.mul_extension(self.convert_to_ext(s), a)
+
+    def add_many_extension(self, terms):
+        acc = self.zero_extension()
+        for t in terms:
+            acc = self.add_extension(acc, t)
+        return acc
+
+    def mul_many_extension(self, terms):
+        acc = self.one_extension()
+        for t in terms:
+            acc = self.mul_extension(acc, t)
+        return acc
+
+    def exp_u64_extension(self, base, exponent: int):
+        """base^e for a host-known exponent (square-and-multiply)."""
+        result = self.one_extension()
+        b = base
+        e = exponent
+        while e:
+            if e & 1:
+                result = self.mul_extension(result, b)
+            e >>= 1
+            if e:
+                b = self.mul_extension(b, b)
+        return result
+
+    def inverse_extension(self, a):
+        """1/a: witnessed inverse + product check
+        (reference gadgets/arithmetic_extension.rs div gadget)."""
+        inv = self.add_virtual_extension_target()
+        self.add_simple_generator(_ExtInverseGenerator(a, inv, self.spec))
+        prod = self.mul_extension(a, inv)
+        self.connect_extension(prod, self.one_extension())
+        return inv
+
+    def div_extension(self, a, b):
+        return self.mul_extension(a, self.inverse_extension(b))
+
+    # -- hashing gadgets (reference plonk/config.rs:97-166,
+    #    hash/poseidon_goldilocks.rs permute_swapped impl) ------------------
+
+    def permute_swapped(self, state: Sequence[tgt.Target],
+                        swap: tgt.Target) -> List[tgt.Target]:
+        """One PoseidonGate row: permute `state` (width 12), conditionally
+        swapping the first two digest-size chunks."""
+        from ..gates.poseidon import PoseidonGate
+        g = PoseidonGate()
+        row = self.add_gate(g, [])
+        self.connect(swap, tgt.wire(row, PoseidonGate.WIRE_SWAP))
+        for i, s in enumerate(state):
+            self.connect(s, tgt.wire(row, PoseidonGate.wire_input(i)))
+        return [tgt.wire(row, PoseidonGate.wire_output(i))
+                for i in range(len(state))]
+
+    def permute(self, state: Sequence[tgt.Target]) -> List[tgt.Target]:
+        return self.permute_swapped(state, self.zero())
+
+    def hash_n_to_m_no_pad(self, inputs: Sequence[tgt.Target],
+                           num_outputs: int) -> List[tgt.Target]:
+        """Overwrite-mode sponge in-circuit (reference config.rs:135-166)."""
+        rate = self.hasher.RATE
+        width = self.hasher.WIDTH
+        state = [self.zero()] * width
+        for i in range(0, len(inputs), rate):
+            chunk = list(inputs[i:i + rate])
+            state = chunk + state[len(chunk):]
+            state = self.permute(state)
+        outputs: List[tgt.Target] = []
+        while True:
+            for s in state[:rate]:
+                outputs.append(s)
+                if len(outputs) == num_outputs:
+                    return outputs
+            state = self.permute(state)
+
+    def hash_n_to_hash_no_pad(self, inputs: Sequence[tgt.Target]
+                              ) -> List[tgt.Target]:
+        return self.hash_n_to_m_no_pad(inputs, self.spec.num_hash_out_elts)
+
+    def hash_or_noop(self, inputs: Sequence[tgt.Target]) -> List[tgt.Target]:
+        n = self.spec.num_hash_out_elts
+        if len(inputs) <= n:
+            return list(inputs) + [self.zero()] * (n - len(inputs))
+        return self.hash_n_to_hash_no_pad(inputs)
+
     # -- build (reference circuit_builder.rs:1110-1360) -----------------------
 
     def build(self) -> CircuitData:
@@ -264,16 +486,12 @@ class CircuitBuilder:
         cap_height = config.fri_config.cap_height
 
         num_public_inputs = len(self.public_inputs)
-        # In-circuit public-input hashing.  hash_n_to_m of an empty input
+        # In-circuit public-input hashing via Poseidon gates (reference
+        # circuit_builder.rs:1129-1139).  hash_n_to_m of an empty input
         # squeezes the all-zero state without permuting (reference
-        # hash/hashing.rs:100-124), so 0 public inputs need no hash gates.
-        # Nonzero counts need the Poseidon gate (next milestone).
-        if num_public_inputs == 0:
-            pi_hash_targets = [self.zero()] * spec.num_hash_out_elts
-        else:
-            raise NotImplementedError(
-                "public-input hashing requires the Poseidon gate "
-                "(SURVEY.md §7 step 9); land it before using public inputs")
+        # hash/hashing.rs:100-124), so 0 public inputs add no hash gates.
+        pi_hash_targets = self.hash_n_to_m_no_pad(
+            self.public_inputs, spec.num_hash_out_elts)
         pi_gate = self.add_gate(PublicInputGate(spec.num_hash_out_elts), [])
         for i, t in enumerate(pi_hash_targets):
             self.connect(t, tgt.wire(pi_gate, i))
