@@ -24,6 +24,29 @@ W = C.SPONGE_WIDTH
 HALF = C.HALF_N_FULL_ROUNDS
 NP = C.N_PARTIAL_ROUNDS
 
+# MDS transposed for out[c] = sum_r s[r] * M[r][c] broadcast-reduction:
+# M[r][c] = CIRC[(r - c) % 12] + (r == c) * DIAG[r]
+_MDS_FULL = [[C.MDS_MATRIX_CIRC[(r - c) % W] + (C.MDS_MATRIX_DIAG[r]
+                                                if r == c else 0)
+              for c in range(W)] for r in range(W)]
+
+# init-layer matrix, same orientation: result[0]=state[0],
+# result[c>=1] = sum_{r>=1} state[r] * INIT[r-1][c-1]
+_INIT_FULL = [[1 if (r == 0 and c == 0) else
+               (0 if (r == 0 or c == 0) else
+                C.FAST_PARTIAL_ROUND_INITIAL_MATRIX[r - 1][c - 1])
+               for c in range(W)] for r in range(W)]
+
+
+def _sbox_cols(F, state):
+    x2 = F.sqr(state)
+    x3 = F.mul(x2, state)
+    return F.mul(x3, F.sqr(x2))
+
+
+def _c(F, v: int):
+    return F.full((), v)
+
 
 class PoseidonGate(Gate):
     WIRE_SWAP = 2 * W
@@ -147,6 +170,145 @@ class PoseidonGate(Gate):
 
     def generators(self, row, local_constants, spec):
         return [PoseidonGenerator(row, spec)]
+
+    # ---- batched device evaluation ----------------------------------------
+    # The generic eval above traces ~2100 field ops; over a whole quotient
+    # domain that explodes XLA compile time.  This path computes the SAME
+    # constraints (same values, same order) with lax.scan over rounds and
+    # broadcast-matmul MDS layers — a ~30x smaller graph.
+
+    def eval_unfiltered_device(self, F, stacked_wires, vars) -> list:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        assert F.SPEC.name == "goldilocks"
+        tree_map = jax.tree_util.tree_map
+
+        def rows(lo_r, hi_r):
+            return tree_map(lambda a: a[lo_r:hi_r], stacked_wires)
+
+        def row(r):
+            return tree_map(lambda a: a[r], stacked_wires)
+
+        def consts(vals):
+            return F.from_ints(np.array(vals, dtype=np.uint64))
+
+        def mds(state):
+            """state (12, m) -> MDS @ state via broadcast-mul + tree-sum."""
+            m_const = consts(_MDS_FULL)          # (12, 12): M[r, c]
+            prod = F.mul(tree_map(lambda a: a[:, None, :], state),
+                         tree_map(lambda a: a[:, :, None], m_const))
+            return F.batch_sum(prod, axis=0)     # out[c] = sum_r s[r] M[r,c]
+
+        g = PoseidonGate
+        inputs = rows(0, W)
+        outputs = rows(W, 2 * W)
+        swap = row(g.WIRE_SWAP)
+        deltas = rows(g._START_DELTA, g._START_DELTA + 4)
+        full0_w = tree_map(
+            lambda a: a[g._START_FULL_0:g._START_PARTIAL].reshape(
+                HALF - 1, W, -1), stacked_wires)
+        partial_w = rows(g._START_PARTIAL, g._START_FULL_1)
+        full1_w = tree_map(
+            lambda a: a[g._START_FULL_1:g.end()].reshape(HALF, W, -1),
+            stacked_wires)
+
+        constraints = []
+        one = F.ones(())
+        constraints.append(F.mul(swap, F.sub(swap, one)))
+        lhs = tree_map(lambda a: a[0:4], stacked_wires)
+        rhs = tree_map(lambda a: a[4:8], stacked_wires)
+        delta_c = F.sub(F.mul(tree_map(lambda a: a[None], swap),
+                              F.sub(rhs, lhs)), deltas)
+        for i in range(4):
+            constraints.append(tree_map(lambda a: a[i], delta_c))
+
+        # swapped input state
+        top = F.add(lhs, deltas)
+        bot = F.sub(rhs, deltas)
+        tail = rows(8, W)
+        state = tree_map(lambda a, b, c: jnp.concatenate([a, b, c], axis=0),
+                         top, bot, tail)
+
+        rc = np.array(C.ALL_ROUND_CONSTANTS, dtype=np.uint64).reshape(30, W)
+
+        # full rounds 0..HALF: round 0 inline, rounds 1..HALF-1 scanned
+        state = F.add(state, tree_map(lambda a: a[:, None], consts(rc[0])))
+        state = mds(_sbox_cols(F, state))
+
+        def full0_step(st, xs):
+            rc_r, wires_r = xs
+            st = F.add(st, tree_map(lambda a: a[:, None], rc_r))
+            cons = F.sub(st, wires_r)
+            st = mds(_sbox_cols(F, wires_r))
+            return st, cons
+
+        state, cons0 = jax.lax.scan(
+            full0_step, state,
+            (consts(rc[1:HALF]), full0_w))
+        for r in range(HALF - 1):
+            for i in range(W):
+                constraints.append(tree_map(lambda a: a[r, i], cons0))
+
+        # partial rounds: init layers then a 22-step scan
+        state = F.add(state, tree_map(
+            lambda a: a[:, None],
+            consts(C.FAST_PARTIAL_FIRST_ROUND_CONSTANT)))
+        init_m = consts(_INIT_FULL)              # (12, 12)
+        prod = F.mul(tree_map(lambda a: a[:, None, :], state),
+                     tree_map(lambda a: a[:, :, None], init_m))
+        state = F.batch_sum(prod, axis=0)
+
+        fast_rc = list(C.FAST_PARTIAL_ROUND_CONSTANTS[:NP - 1]) + [0]
+        w_hats = np.array(C.FAST_PARTIAL_ROUND_W_HATS, dtype=np.uint64)
+        vs = np.array(C.FAST_PARTIAL_ROUND_VS, dtype=np.uint64)
+        mds00 = C.MDS_MATRIX_CIRC[0] + C.MDS_MATRIX_DIAG[0]
+
+        def partial_step(st, xs):
+            wire_r, rc_r, wh_r, vs_r = xs
+            s0 = tree_map(lambda a: a[0], st)
+            cons = F.sub(s0, wire_r)
+            s0 = F.add(_sbox_cols(F, wire_r), rc_r)
+            tail_ = tree_map(lambda a: a[1:], st)
+            d = F.add(F.mul(s0, _c(F, mds00)),
+                      F.batch_sum(F.mul(tail_,
+                                        tree_map(lambda a: a[:, None], wh_r)),
+                                  axis=0))
+            new_tail = F.add(F.mul(tree_map(lambda a: a[None], s0),
+                                   tree_map(lambda a: a[:, None], vs_r)),
+                             tail_)
+            st = tree_map(lambda a, b: jnp.concatenate([a[None], b], axis=0),
+                          d, new_tail)
+            return st, cons
+
+        state, cons_p = jax.lax.scan(
+            partial_step, state,
+            (partial_w, consts(fast_rc), consts(w_hats), consts(vs)))
+        for r in range(NP):
+            constraints.append(tree_map(lambda a: a[r], cons_p))
+
+        # second set of full rounds, scanned
+        def full1_step(st, xs):
+            rc_r, wires_r = xs
+            st = F.add(st, tree_map(lambda a: a[:, None], rc_r))
+            cons = F.sub(st, wires_r)
+            st = mds(_sbox_cols(F, wires_r))
+            return st, cons
+
+        state, cons1 = jax.lax.scan(
+            full1_step, state,
+            (consts(rc[HALF + NP:]), full1_w))
+        for r in range(HALF):
+            for i in range(W):
+                constraints.append(tree_map(lambda a: a[r, i], cons1))
+
+        out_c = F.sub(state, outputs)
+        for i in range(W):
+            constraints.append(tree_map(lambda a: a[i], out_c))
+
+        assert len(constraints) == self.num_constraints()
+        return constraints
 
 
 class PoseidonGenerator(gen.SimpleGenerator):

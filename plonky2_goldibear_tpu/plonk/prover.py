@@ -211,6 +211,7 @@ class ProverKernels:
             rows(cs, c0, c1), rows(wires, 0, config.num_wires),
             [tree_map(lambda a, i=i: a[i], pi_hash_arr)
              for i in range(common.spec.num_hash_out_elts)])
+        vars.stacked_wires = wires   # device fast path for scan-based gates
         betas = [tree_map(lambda a, i=i: a[i], betas_arr) for i in range(nch)]
         gammas = [tree_map(lambda a, i=i: a[i], gammas_arr)
                   for i in range(nch)]

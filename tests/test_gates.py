@@ -60,3 +60,28 @@ def test_access_gates_low_degree_and_witness():
         gt.test_low_degree(gate, GOLDILOCKS)
         gt.check_generated_witness(gate, GOLDILOCKS, fixed=fixed,
                                    constants=consts)
+
+
+def test_poseidon_device_eval_matches_generic():
+    """The scan/matmul device evaluation must produce identical constraint
+    values (and order) to the generic algebra evaluation."""
+    import jax
+    import numpy as np
+    from plonky2_goldibear_tpu.field import gl
+    from plonky2_goldibear_tpu.gates.base import (DeviceBaseAlgebra,
+                                                  EvaluationVars)
+    tree_map = jax.tree_util.tree_map
+    g = PoseidonGate()
+    rng = np.random.default_rng(0)
+    m = 4
+    wires = gl.from_ints(rng.integers(0, gl.P, size=(g.num_wires(), m),
+                                      dtype=np.uint64))
+    A = DeviceBaseAlgebra(gl, m)
+    vars = EvaluationVars(
+        [], [tree_map(lambda a, j=j: a[j], wires)
+             for j in range(g.num_wires())], [A.from_int(0)] * 4)
+    generic = g.eval_unfiltered(A, vars)
+    dev = g.eval_unfiltered_device(gl, wires, vars)
+    assert len(generic) == len(dev) == g.num_constraints()
+    for a, b in zip(generic, dev):
+        assert np.array_equal(gl.to_ints(a), gl.to_ints(b))
