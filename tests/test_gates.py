@@ -85,3 +85,57 @@ def test_poseidon_device_eval_matches_generic():
     assert len(generic) == len(dev) == g.num_constraints()
     for a, b in zip(generic, dev):
         assert np.array_equal(gl.to_ints(a), gl.to_ints(b))
+
+
+def test_reducing_and_interpolation_gates():
+    from plonky2_goldibear_tpu.gates.reducing import (ReducingGate,
+                                                      ReducingExtensionGate)
+    from plonky2_goldibear_tpu.gates.coset_interpolation import \
+        CosetInterpolationGate
+    for gate in [ReducingGate(num_coeffs=10, D=2),
+                 ReducingExtensionGate(num_coeffs=8, D=2),
+                 CosetInterpolationGate(subgroup_bits=4, max_degree=6)]:
+        gt.test_low_degree(gate, GOLDILOCKS)
+
+    gt.check_generated_witness(ReducingGate(num_coeffs=10, D=2), GOLDILOCKS)
+    gt.check_generated_witness(ReducingExtensionGate(num_coeffs=8, D=2),
+                               GOLDILOCKS)
+    # interpolation: shift must be nonzero
+    gt.check_generated_witness(
+        CosetInterpolationGate(subgroup_bits=4, max_degree=6), GOLDILOCKS,
+        fixed={("w", 0, 0): 7})
+
+
+def test_coset_interpolation_gate_math():
+    """The generated evaluation_value must equal a reference barycentric
+    interpolation of the coset values at the evaluation point."""
+    import random
+    from plonky2_goldibear_tpu.field import host
+    from plonky2_goldibear_tpu.fri.verifier import interpolate_ext
+    from plonky2_goldibear_tpu.gates.coset_interpolation import \
+        CosetInterpolationGate
+    from plonky2_goldibear_tpu.gates.gate_testing import _DictWitness
+
+    spec = GOLDILOCKS
+    rng = random.Random(11)
+    g = CosetInterpolationGate(subgroup_bits=4, max_degree=6)
+    shift = spec.generator
+    wires = {("w", 0, g.wire_shift()): shift}
+    vals = []
+    for i in range(g.num_points):
+        v = host.ext_sample(spec, rng)
+        vals.append(v)
+        for w, c in zip(g.wires_value(i), v):
+            wires[("w", 0, w)] = c
+    zeta = host.ext_sample(spec, rng)
+    for w, c in zip(g.wires_evaluation_point(), zeta):
+        wires[("w", 0, w)] = c
+    w_ = _DictWitness(wires)
+    out = []
+    g.generators(0, [], spec)[0].run_once(w_, out)
+    got = dict(out)
+    eval_value = tuple(got[("w", 0, w)] for w in g.wires_evaluation_value())
+    # reference: interpolate over coset points shift * g^i at zeta
+    pts = [shift * x % spec.p for x in g.domain]
+    expected = interpolate_ext(spec, pts, vals, zeta)
+    assert eval_value == tuple(expected)
