@@ -148,3 +148,37 @@ def cumprod(a, axis: int = -1):
     x = jnp.moveaxis(a, axis, 0)
     res = jax.lax.associative_scan(mul, x, axis=0)
     return jnp.moveaxis(res, 0, axis)
+
+
+def batch_sum(a, axis: int = -1):
+    """Tree-reduce sum along an axis (log depth, canonical adds)."""
+    x = jnp.moveaxis(a, axis, 0)
+    while x.shape[0] > 1:
+        m = x.shape[0]
+        half = m // 2
+        s = add(x[:half], x[half:2 * half])
+        if m % 2:
+            s = jnp.concatenate([s, x[-1:]], axis=0)
+        x = s
+    return x[0]
+
+
+# -- PoW-grind helpers (field-specific candidate/threshold handling) ---------
+
+
+def grind_set_lane(state, pos, cands_u32):
+    """Write uint32 canonical candidates into state[:, pos].
+
+    Values are stored in Montgomery form, so convert: mont = REDC(c * R2).
+    """
+    hi, lo = _mul32(cands_u32, jnp.full_like(cands_u32, np.uint32(R2)))
+    mont = _redc(hi, lo)
+    return state.at[:, pos].set(mont)
+
+
+def grind_response_ok(resp, k: int):
+    """canonical(resp) < 2^k for Montgomery-form resp."""
+    canon = _redc(jnp.zeros_like(resp), resp)
+    if k >= 31:
+        return jnp.ones_like(resp, dtype=bool)
+    return canon < jnp.uint32(1 << k)

@@ -299,3 +299,21 @@ def cumprod(a: GL, axis: int = -1) -> GL:
     hi = jnp.moveaxis(a.hi, axis, 0)
     res = jax.lax.associative_scan(combine, GL(lo, hi), axis=0)
     return GL(jnp.moveaxis(res.lo, 0, axis), jnp.moveaxis(res.hi, 0, axis))
+
+
+# -- PoW-grind helpers (field-specific candidate/threshold handling) ---------
+
+
+def grind_set_lane(state: GL, pos: int, cands_u32) -> GL:
+    """Write uint32 canonical candidates into state[:, pos] (< p, canonical)."""
+    return GL(state.lo.at[:, pos].set(cands_u32),
+              state.hi.at[:, pos].set(jnp.zeros_like(cands_u32)))
+
+
+def grind_response_ok(resp: GL, k: int):
+    """canonical u64 value < 2^k."""
+    if k >= 64:
+        return jnp.ones_like(resp.hi, dtype=bool)
+    if k >= 32:
+        return resp.hi < jnp.uint32(1 << (k - 32))
+    return (resp.hi == 0) & (resp.lo < jnp.uint32(1 << k))

@@ -214,18 +214,10 @@ def _grind_jit(F, hasher, width, pos, rate, k, batch):
     def grind(state_arr, start):
         cands = start + jnp.arange(batch, dtype=jnp.uint32)
         st = tree_map(lambda a: jnp.tile(a, (batch, 1)), state_arr)
-        # candidates < 2^32: lo = cand, hi = 0 (canonical since < p)
-        st = type(st)(st.lo.at[:, pos].set(cands),
-                      st.hi.at[:, pos].set(jnp.zeros_like(cands)))
+        st = F.grind_set_lane(st, pos, cands)
         out = hasher.permute(st)
-        resp_lo = out.lo[:, rate - 1]
-        resp_hi = out.hi[:, rate - 1]
-        if k >= 64:
-            ok = jnp.ones_like(resp_hi, dtype=bool)
-        elif k >= 32:
-            ok = resp_hi < jnp.uint32(1 << (k - 32))
-        else:
-            ok = (resp_hi == 0) & (resp_lo < jnp.uint32(1 << k))
+        resp = tree_map(lambda a: a[:, rate - 1], out)
+        ok = F.grind_response_ok(resp, k)
         idx = jnp.argmax(ok)
         return ok[idx], idx
 

@@ -22,6 +22,8 @@ class RandomAccessGate(Gate):
     def __init__(self, bits: int, num_copies: int, num_extra_constants: int):
         self.bits = bits
         self.num_copies = num_copies
+        # slot capacity for find_slot packing + unused-generator dropping
+        self.num_ops = num_copies
         self.num_extra_constants = num_extra_constants
 
     @classmethod

@@ -72,6 +72,24 @@ class CosetInterpolationGate(Gate):
             spec, subgroup_bits)
         self.domain = host.two_adic_subgroup(spec, subgroup_bits)
 
+    @classmethod
+    def from_serialized(cls, subgroup_bits: int, degree: int,
+                        weights, spec: host.FieldSpec = host.GOLDILOCKS):
+        """Reconstruct from serialized fields (reference
+        coset_interpolation.rs deserialize); weights must match the
+        fixed-subgroup barycentric weights."""
+        g = cls.__new__(cls)
+        g.subgroup_bits = subgroup_bits
+        g.spec_ = spec
+        g.D = spec.ext_degree
+        g.gate_degree = degree
+        g.barycentric_weights = list(weights)
+        g.domain = host.two_adic_subgroup(spec, subgroup_bits)
+        assert g.barycentric_weights == \
+            barycentric_weights_subgroup(spec, subgroup_bits), \
+            "serialized barycentric weights disagree with the subgroup"
+        return g
+
     def id(self):
         return (f"{self.subgroup_bits},{self.gate_degree},"
                 f"{self.barycentric_weights}<D={self.D}>")

@@ -63,13 +63,19 @@ class MerkleTree:
 
     # -- host-side extraction ------------------------------------------------
 
+    @property
+    def _F(self):
+        # field module of the hasher (gl for Poseidon-GL, bb for Poseidon2)
+        return getattr(self.hasher, "F", gl)
+
     def cap_host(self) -> List[List[int]]:
-        c = gl.to_ints(self.cap)
+        c = self._F.to_ints(self.cap)
         return [[int(x) for x in row] for row in c]
 
     def _levels_host(self) -> List[np.ndarray]:
         if self._host_levels is None:
-            self._host_levels = [gl.to_ints(lv) for lv in self.levels[:-1]]
+            self._host_levels = [self._F.to_ints(lv)
+                                 for lv in self.levels[:-1]]
         return self._host_levels
 
     def prove(self, leaf_index: int) -> List[List[int]]:
@@ -84,7 +90,7 @@ class MerkleTree:
         return siblings
 
     def leaf_host(self, leaf_index: int) -> List[int]:
-        row = gl.to_ints(self.leaves[leaf_index])
+        row = self._F.to_ints(self.leaves[leaf_index])
         return [int(x) for x in row]
 
 

@@ -32,6 +32,7 @@ P = GOLDILOCKS.p
 WIDTH = C.SPONGE_WIDTH
 RATE = C.SPONGE_RATE
 NUM_HASH_OUT = GOLDILOCKS.num_hash_out_elts  # 4
+F = gl   # field module, for field-generic users (merkle, oracle)
 
 # Dense MDS matrix M[r, j] = CIRC[(j - r) mod 12] + (r == j) * DIAG[r]
 _MDS = np.zeros((12, 12), dtype=np.int64)

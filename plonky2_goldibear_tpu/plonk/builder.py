@@ -606,7 +606,8 @@ class CircuitBuilder:
             circuit_digest=circuit_digest)
 
         return CircuitData(common=common, prover_only=prover_only,
-                           verifier_only=verifier_only)
+                           verifier_only=verifier_only, F=self.F,
+                           hasher=self.hasher)
 
     def _hash_pad(self, inputs: List[int]) -> List[int]:
         """pad10*1 then hash (reference plonk/config.rs:58-66)."""

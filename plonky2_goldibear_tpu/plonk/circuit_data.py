@@ -185,11 +185,24 @@ class CircuitData:
     common: CommonCircuitData
     prover_only: ProverOnlyCircuitData
     verifier_only: VerifierOnlyCircuitData
+    F: object = None        # device field module (field.gl / field.bb)
+    hasher: object = None   # hash module (poseidon_gl / poseidon2_bb)
+
+    def _defaults(self):
+        if self.F is None:
+            from ..field import gl
+            from ..hash import poseidon_gl
+            return gl, poseidon_gl
+        return self.F, self.hasher
 
     def prove(self, inputs, seed: Optional[int] = None):
         from . import prover
-        return prover.prove(self.prover_only, self.common, inputs)
+        F, hasher = self._defaults()
+        return prover.prove(self.prover_only, self.common, inputs,
+                            F=F, hasher=hasher)
 
     def verify(self, proof_with_pis) -> None:
         from . import verifier
-        verifier.verify(proof_with_pis, self.verifier_only, self.common)
+        _, hasher = self._defaults()
+        verifier.verify(proof_with_pis, self.verifier_only, self.common,
+                        hasher=hasher)

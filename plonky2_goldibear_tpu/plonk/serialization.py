@@ -1,0 +1,323 @@
+"""Binary (de)serialization compatible with the reference wire format
+(reference plonky2/src/util/serialization/mod.rs, gate_serialization.rs).
+
+Covers reading CommonCircuitData / VerifierOnlyCircuitData /
+ProofWithPublicInputs — enough to ingest circuits and proofs produced by
+the reference prover (e.g. its committed GL recursive-verifier regression
+vectors) and verify them natively.  Writing mirrors reading for
+checkpoint/resume of our own artifacts.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Tuple
+
+from ..field import host
+from ..gates.access_gates import (BaseSumGate, ExponentiationGate,
+                                  RandomAccessGate)
+from ..gates.basic_gates import (ArithmeticGate, ConstantGate, NoopGate,
+                                 PublicInputGate)
+from ..gates.coset_interpolation import CosetInterpolationGate
+from ..gates.extension_gates import ArithmeticExtensionGate, MulExtensionGate
+from ..gates.poseidon import PoseidonGate
+from ..gates.poseidon_mds import PoseidonMdsGate
+from ..gates.reducing import ReducingExtensionGate, ReducingGate
+from ..gates.selectors import SelectorsInfo
+from .circuit_data import CommonCircuitData, VerifierOnlyCircuitData
+from .config import CircuitConfig, FriConfig, FriParams, FriReductionStrategy
+from .proof import (FriInitialTreeProof, FriProof, FriQueryRound,
+                    FriQueryStep, OpeningSet, Proof, ProofWithPublicInputs)
+
+
+class Buffer:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def read_exact(self, n: int) -> bytes:
+        assert self.pos + n <= len(self.data), "buffer underrun"
+        out = self.data[self.pos:self.pos + n]
+        self.pos += n
+        return out
+
+    def read_u8(self) -> int:
+        return self.read_exact(1)[0]
+
+    def read_bool(self) -> bool:
+        v = self.read_u8()
+        assert v in (0, 1)
+        return v == 1
+
+    def read_u32(self) -> int:
+        return struct.unpack("<I", self.read_exact(4))[0]
+
+    def read_usize(self) -> int:
+        return struct.unpack("<Q", self.read_exact(8))[0]
+
+    def read_usize_vec(self) -> List[int]:
+        return [self.read_usize() for _ in range(self.read_usize())]
+
+    def read_field(self, spec=host.GOLDILOCKS) -> int:
+        # 8-byte LE canonical (reference hash_types.rs read_from_buffer;
+        # BabyBear also serializes canonical u64s)
+        v = struct.unpack("<Q", self.read_exact(8))[0]
+        return v % spec.p
+
+    def read_field_vec(self, n: int, spec=host.GOLDILOCKS) -> List[int]:
+        return [self.read_field(spec) for _ in range(n)]
+
+    def read_field_ext(self, spec=host.GOLDILOCKS) -> Tuple[int, ...]:
+        return tuple(self.read_field(spec) for _ in range(spec.ext_degree))
+
+    def read_field_ext_vec(self, n: int, spec=host.GOLDILOCKS):
+        return [self.read_field_ext(spec) for _ in range(n)]
+
+    def read_hash(self, spec=host.GOLDILOCKS) -> List[int]:
+        # HASH_SIZE = 32 bytes; GL: 4 u64 LE, BB: 8 u32 LE
+        if spec.bits > 32:
+            return [struct.unpack("<Q", self.read_exact(8))[0] % spec.p
+                    for _ in range(4)]
+        return [struct.unpack("<I", self.read_exact(4))[0] % spec.p
+                for _ in range(8)]
+
+    def read_merkle_cap(self, cap_height: int, spec=host.GOLDILOCKS):
+        return [self.read_hash(spec) for _ in range(1 << cap_height)]
+
+    def read_merkle_proof(self, spec=host.GOLDILOCKS):
+        length = self.read_u8()
+        return [self.read_hash(spec) for _ in range(length)]
+
+
+# -- config / params ----------------------------------------------------------
+
+
+def read_fri_reduction_strategy(buf: Buffer) -> FriReductionStrategy:
+    variant = buf.read_u8()
+    if variant == 0:
+        return FriReductionStrategy(kind="fixed",
+                                    fixed=tuple(buf.read_usize_vec()))
+    if variant == 1:
+        return FriReductionStrategy(kind="constant_arity",
+                                    arity_bits=buf.read_usize(),
+                                    final_poly_bits=buf.read_usize())
+    if variant == 2:
+        is_some = buf.read_u8()
+        mx = buf.read_usize() if is_some else None
+        return FriReductionStrategy(kind="min_size", max_arity_bits=mx)
+    raise ValueError(variant)
+
+
+def read_fri_config(buf: Buffer) -> FriConfig:
+    rate_bits = buf.read_usize()
+    cap_height = buf.read_usize()
+    num_query_rounds = buf.read_usize()
+    proof_of_work_bits = buf.read_u32()
+    strategy = read_fri_reduction_strategy(buf)
+    return FriConfig(rate_bits=rate_bits, cap_height=cap_height,
+                     proof_of_work_bits=proof_of_work_bits,
+                     reduction_strategy=strategy,
+                     num_query_rounds=num_query_rounds)
+
+
+def read_circuit_config(buf: Buffer) -> CircuitConfig:
+    num_wires = buf.read_usize()
+    num_routed_wires = buf.read_usize()
+    num_constants = buf.read_usize()
+    security_bits = buf.read_usize()
+    num_challenges = buf.read_usize()
+    max_qdf = buf.read_usize()
+    use_base = buf.read_bool()
+    zk = buf.read_bool()
+    fri_config = read_fri_config(buf)
+    return CircuitConfig(num_wires=num_wires,
+                         num_routed_wires=num_routed_wires,
+                         num_constants=num_constants,
+                         use_base_arithmetic_gate=use_base,
+                         security_bits=security_bits,
+                         num_challenges=num_challenges, zero_knowledge=zk,
+                         max_quotient_degree_factor=max_qdf,
+                         fri_config=fri_config)
+
+
+def read_fri_params(buf: Buffer) -> FriParams:
+    config = read_fri_config(buf)
+    arity_bits = tuple(buf.read_usize_vec())
+    degree_bits = buf.read_usize()
+    hiding = buf.read_bool()
+    return FriParams(config=config, hiding=hiding, degree_bits=degree_bits,
+                     reduction_arity_bits=arity_bits)
+
+
+def read_selectors_info(buf: Buffer) -> SelectorsInfo:
+    indices = buf.read_usize_vec()
+    groups = [(buf.read_usize(), buf.read_usize())
+              for _ in range(buf.read_usize())]
+    return SelectorsInfo(selector_indices=indices, groups=groups)
+
+
+# -- gates (DefaultGateSerializer tag order,
+#    reference gate_serialization.rs:143-166) --------------------------------
+
+
+def _read_gate(buf: Buffer, spec: host.FieldSpec, config: CircuitConfig):
+    tag = buf.read_u32()
+    D = spec.ext_degree
+    nho = spec.num_hash_out_elts
+    if tag == 0:
+        return ArithmeticGate(buf.read_usize())
+    if tag == 1:
+        return ArithmeticExtensionGate(buf.read_usize(), D)
+    if tag == 2:
+        return BaseSumGate(buf.read_usize(), 2)
+    if tag == 3:
+        return ConstantGate(buf.read_usize())
+    if tag == 4:
+        subgroup_bits = buf.read_usize()
+        degree = buf.read_usize()
+        n = buf.read_usize()
+        weights = buf.read_field_vec(n, spec)
+        return CosetInterpolationGate.from_serialized(subgroup_bits, degree,
+                                                      weights, spec)
+    if tag == 5:
+        return ExponentiationGate(buf.read_usize())
+    if tag in (6, 7):
+        raise NotImplementedError("lookup gates: later round")
+    if tag == 8:
+        return MulExtensionGate(buf.read_usize(), D)
+    if tag == 9:
+        return NoopGate()
+    if tag == 10:
+        return PoseidonMdsGate(D)
+    if tag == 11:
+        return PoseidonGate()
+    if tag == 12:
+        return PublicInputGate(nho)
+    if tag == 13:
+        bits = buf.read_usize()
+        copies = buf.read_usize()
+        extra = buf.read_usize()
+        return RandomAccessGate(bits, copies, extra)
+    if tag == 14:
+        return ReducingExtensionGate(buf.read_usize(), D)
+    if tag == 15:
+        return ReducingGate(buf.read_usize(), D)
+    raise NotImplementedError(f"gate tag {tag}: later round")
+
+
+# -- top-level structures -----------------------------------------------------
+
+
+def read_common_circuit_data(data: bytes,
+                             spec: host.FieldSpec = host.GOLDILOCKS
+                             ) -> CommonCircuitData:
+    """reference serialization/mod.rs:774-860 (read_common_circuit_data)."""
+    buf = Buffer(data)
+    config = read_circuit_config(buf)
+    fri_params = read_fri_params(buf)
+    selectors_info = read_selectors_info(buf)
+    quotient_degree_factor = buf.read_usize()
+    num_gate_constraints = buf.read_usize()
+    num_constants = buf.read_usize()
+    num_public_inputs = buf.read_usize()
+    k_len = buf.read_usize()
+    k_is = buf.read_field_vec(k_len, spec)
+    num_partial_products = buf.read_usize()
+    num_lookup_polys = buf.read_usize()
+    num_lookup_selectors = buf.read_usize()
+    num_luts = buf.read_usize()
+    assert num_luts == 0, "LUT deserialization: later round"
+    num_gates = buf.read_usize()
+    gates = [_read_gate(buf, spec, config) for _ in range(num_gates)]
+    assert buf.pos == len(data), (buf.pos, len(data))
+    return CommonCircuitData(
+        config=config, spec=spec, fri_params=fri_params, gates=gates,
+        selectors_info=selectors_info,
+        quotient_degree_factor=quotient_degree_factor,
+        num_gate_constraints=num_gate_constraints,
+        num_constants=num_constants, num_public_inputs=num_public_inputs,
+        k_is=k_is, num_partial_products=num_partial_products,
+        num_lookup_polys=num_lookup_polys,
+        num_lookup_selectors=num_lookup_selectors)
+
+
+def read_verifier_only_circuit_data(data: bytes,
+                                    spec: host.FieldSpec = host.GOLDILOCKS
+                                    ) -> VerifierOnlyCircuitData:
+    buf = Buffer(data)
+    height = buf.read_usize()
+    cap = buf.read_merkle_cap(height, spec)
+    digest = buf.read_hash(spec)
+    assert buf.pos == len(data)
+    return VerifierOnlyCircuitData(constants_sigmas_cap=cap,
+                                   circuit_digest=digest)
+
+
+def read_proof_with_public_inputs(data: bytes, common: CommonCircuitData
+                                  ) -> ProofWithPublicInputs:
+    """reference serialization/mod.rs:1023-1090."""
+    spec = common.spec
+    buf = Buffer(data)
+    config = common.config
+    ch = config.fri_config.cap_height
+    wires_cap = buf.read_merkle_cap(ch, spec)
+    zs_pp_cap = buf.read_merkle_cap(ch, spec)
+    quotient_cap = buf.read_merkle_cap(ch, spec)
+
+    # opening set (reference mod.rs:343-388; note lookup_zs read between
+    # plonk_zs_next and partial_products)
+    constants = buf.read_field_ext_vec(common.num_constants, spec)
+    plonk_sigmas = buf.read_field_ext_vec(config.num_routed_wires, spec)
+    wires = buf.read_field_ext_vec(config.num_wires, spec)
+    plonk_zs = buf.read_field_ext_vec(config.num_challenges, spec)
+    plonk_zs_next = buf.read_field_ext_vec(config.num_challenges, spec)
+    lookup_zs = buf.read_field_ext_vec(common.num_all_lookup_polys(), spec)
+    lookup_zs_next = buf.read_field_ext_vec(common.num_all_lookup_polys(),
+                                            spec)
+    partial_products = buf.read_field_ext_vec(
+        common.num_partial_products * config.num_challenges, spec)
+    quotient_polys = buf.read_field_ext_vec(
+        common.quotient_degree_factor * config.num_challenges, spec)
+    openings = OpeningSet(
+        constants=constants, plonk_sigmas=plonk_sigmas, wires=wires,
+        plonk_zs=plonk_zs, plonk_zs_next=plonk_zs_next,
+        partial_products=partial_products, quotient_polys=quotient_polys,
+        lookup_zs=lookup_zs, lookup_zs_next=lookup_zs_next)
+
+    # FRI proof (reference mod.rs:575-600)
+    salt = 4 if common.fri_params.hiding else 0
+    caps = [buf.read_merkle_cap(ch, spec)
+            for _ in common.fri_params.reduction_arity_bits]
+    query_rounds = []
+    for _ in range(config.fri_config.num_query_rounds):
+        evals_proofs = []
+        for n in [common.num_constants + config.num_routed_wires,
+                  config.num_wires + salt,
+                  config.num_challenges * (1 + common.num_partial_products
+                                           + common.num_lookup_polys) + salt,
+                  config.num_challenges * common.quotient_degree_factor
+                  + salt]:
+            vals = buf.read_field_vec(n, spec)
+            mp = buf.read_merkle_proof(spec)
+            evals_proofs.append((vals, mp))
+        steps = [FriQueryStep(
+            evals=buf.read_field_ext_vec(1 << ar, spec),
+            merkle_proof=buf.read_merkle_proof(spec))
+            for ar in common.fri_params.reduction_arity_bits]
+        query_rounds.append(FriQueryRound(
+            initial_trees_proof=FriInitialTreeProof(evals_proofs),
+            steps=steps))
+    final_poly = buf.read_field_ext_vec(common.fri_params.final_poly_len,
+                                        spec)
+    pow_witness = buf.read_field(spec)
+    proof = Proof(wires_cap=wires_cap,
+                  plonk_zs_partial_products_cap=zs_pp_cap,
+                  quotient_polys_cap=quotient_cap, openings=openings,
+                  opening_proof=FriProof(
+                      commit_phase_merkle_caps=caps,
+                      query_round_proofs=query_rounds,
+                      final_poly=final_poly, pow_witness=pow_witness))
+    pi_len = buf.read_usize()
+    public_inputs = buf.read_field_vec(pi_len, spec)
+    assert buf.pos == len(data), (buf.pos, len(data))
+    return ProofWithPublicInputs(proof=proof, public_inputs=public_inputs)
