@@ -93,42 +93,54 @@ class PolynomialBatch:
 
     def __init__(self, F, coeffs, rate_bits: int, cap_height: int,
                  shift: Optional[int] = None, hasher=poseidon_gl, roots=None,
-                 blinding: bool = False, salt=None, _precomputed=None):
-        if blinding:
-            # zk salt: SALT_SIZE extra random columns hashed into every leaf
-            # (reference fri/oracle.rs:139-149). Caller passes device arrays.
-            assert salt is not None, "blinding requires salt columns"
-            coeffs_full = tree_map(
-                lambda a, s: jnp.concatenate([a, s], axis=0), coeffs, salt)
-        else:
-            coeffs_full = coeffs
+                 blinding: bool = False, _precomputed=None):
         self.F = F
-        self.coeffs = coeffs_full
+        self.coeffs = coeffs
         self.rate_bits = rate_bits
         self.cap_height = cap_height
         self.blinding = blinding
         self.shift = F.SPEC.coset_shift if shift is None else shift
         self.hasher = hasher
         if _precomputed is None:
-            self.lde, leaves, levels = commit_coeffs_cached(
-                F, coeffs_full, rate_bits, cap_height, self.shift, hasher)
+            lde, leaves, levels = commit_coeffs_cached(
+                F, coeffs, rate_bits, cap_height, self.shift, hasher)
+            if blinding:
+                lde, leaves, levels = self._recommit_salted(F, lde)
+            self.lde = lde
         else:
             self.lde, leaves, levels = _precomputed
         self.num_polys, self.lde_size = fftm.tshape(self.lde)
-        self.degree = fftm.tshape(coeffs_full)[-1]
+        self.degree = fftm.tshape(coeffs)[-1]
         self.degree_bits = host.log2_strict(self.degree)
         self.tree = merkle.MerkleTree(leaves, cap_height, hasher,
                                       levels=levels)
         self._lde_host = None
 
+    def _recommit_salted(self, F, lde):
+        """zk salt: SALT_SIZE fully-random VALUE columns hashed into every
+        leaf (reference fri/oracle.rs:139-149 pushes random PolynomialValues
+        after the LDEs)."""
+        m = fftm.tshape(lde)[-1]
+        rng = np.random.default_rng()
+        salt_vals = rng.integers(0, F.SPEC.p, size=(SALT_SIZE, m),
+                                 dtype=np.uint64)
+        salted = fftm.tconcat([lde, F.from_ints(salt_vals)], axis=0)
+        leaves = leaves_from_lde(F, salted)
+        num_layers = host.log2_strict(m) - self.cap_height
+        levels = merkle.build_levels(leaves, num_layers, self.hasher)
+        return salted, leaves, levels
+
     @classmethod
     def from_values(cls, F, values, rate_bits: int, cap_height: int,
                     shift: Optional[int] = None, hasher=poseidon_gl,
-                    roots=None, blinding: bool = False, salt=None):
+                    roots=None, blinding: bool = False):
         """Values on the 2-adic subgroup -> IFFT -> commit, as one fused
         jitted program (reference fri/oracle.rs:68-91)."""
-        assert not blinding, "salted from_values: use from_coeffs with salt"
         sh = F.SPEC.coset_shift if shift is None else shift
+        if blinding:
+            coeffs = fftm.ifft(F, values)
+            return cls(F, coeffs, rate_bits, cap_height, sh, hasher,
+                       blinding=True)
         coeffs, lde, leaves, levels = _commit_values_jit(
             F, values, rate_bits, cap_height, sh, hasher)
         return cls(F, coeffs, rate_bits, cap_height, sh, hasher,

@@ -211,6 +211,13 @@ class Gate:
         user constants (reference gate.rs:285)."""
         return []
 
+    def complete_wires(self, builder, gate_idx: int, slot_idx: int) -> bool:
+        """Fill a partially-used slot gate's remaining ops; return True if
+        anything was completed (so its generators are retained).  Default:
+        zeros satisfy the constraints, nothing to do (reference
+        gate.rs:78-85)."""
+        return False
+
     # identity / hashing via id string, like GateRef (reference gate.rs:311)
     def __eq__(self, other):
         return isinstance(other, Gate) and self.id() == other.id()

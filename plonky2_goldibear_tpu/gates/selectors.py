@@ -72,3 +72,36 @@ def selector_polynomials(gates, instances, max_degree: int, p: int):
             polys[g][row] = i if g == gr else unused
     return polys, SelectorsInfo(selector_indices=selector_indices,
                                 groups=groups)
+
+
+# Lookup-selector kinds (reference selectors.rs:36-40)
+LOOKUP_SEL_TRANS_SRE = 0
+LOOKUP_SEL_TRANS_LDC = 1
+LOOKUP_SEL_INIT_SRE = 2
+LOOKUP_SEL_LAST_LDC = 3
+LOOKUP_SEL_START_END = 4
+
+
+def selectors_lookup(n_rows: int, lookup_rows) -> List[np.ndarray]:
+    """The four shared lookup-selector polynomials
+    (reference selectors.rs:52-85).  lookup_rows: (last_lu, last_lut,
+    first_lut) triples; gate rows are stored upside down."""
+    polys = [np.zeros(n_rows, dtype=np.uint64)
+             for _ in range(LOOKUP_SEL_START_END)]
+    for last_lu, last_lut, first_lut in lookup_rows:
+        polys[LOOKUP_SEL_TRANS_SRE][last_lut:first_lut + 1] = 1
+        polys[LOOKUP_SEL_TRANS_LDC][last_lu:last_lut] = 1
+        polys[LOOKUP_SEL_INIT_SRE][first_lut + 1] = 1
+        polys[LOOKUP_SEL_LAST_LDC][last_lu] = 1
+    return polys
+
+
+def selector_ends_lookups(n_rows: int, lookup_rows) -> List[np.ndarray]:
+    """Per-LUT end selectors: 1 at the LUT's last_lut_row
+    (reference selectors.rs:88-112)."""
+    out = []
+    for _, last_lut, _ in lookup_rows:
+        p = np.zeros(n_rows, dtype=np.uint64)
+        p[last_lut] = 1
+        out.append(p)
+    return out

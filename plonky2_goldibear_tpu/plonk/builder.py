@@ -58,11 +58,26 @@ class _ExtInverseGenerator(gen.SimpleGenerator):
 class CircuitBuilder:
     def __init__(self, config: CircuitConfig,
                  spec: host.FieldSpec = host.GOLDILOCKS,
-                 F=gl_mod, hasher=poseidon_gl):
+                 F=None, hasher=None):
         self.config = config
         self.spec = spec
+        if F is None:
+            if spec.name == "goldilocks":
+                F = gl_mod
+            else:
+                from ..field import bb as bb_mod
+                F = bb_mod
+        if hasher is None:
+            if spec.name == "goldilocks":
+                hasher = poseidon_gl
+            else:
+                from ..hash import poseidon2_bb
+                hasher = poseidon2_bb
         self.F = F
         self.hasher = hasher
+        # cyclic-recursion state (reference circuit_builder.rs:452,1332)
+        self.verifier_data_public_input = None
+        self.goal_common_data = None
         self.gate_instances: List[GateInstance] = []
         self.gates: Dict[str, object] = {}
         self.copy_constraints: List[Tuple[tgt.Target, tgt.Target]] = []
@@ -75,9 +90,14 @@ class CircuitBuilder:
         # slot packing: gate id -> {params tuple: (row, op)}
         # (reference circuit_builder.rs:824-853)
         self.current_slots: Dict[str, Dict[Tuple, Tuple[int, int]]] = {}
+        self._slot_gates: Dict[str, object] = {}
         self.base_arithmetic_results: Dict[Tuple, tgt.Target] = {}
         self._ext_arithmetic_results: Dict[Tuple, Tuple] = {}
         self._ext_mul_results: Dict[Tuple, Tuple] = {}
+        # lookup bookkeeping (reference circuit_builder.rs:194-197,302-335)
+        self.luts: List[Tuple[Tuple[int, int], ...]] = []
+        self.lut_to_lookups: List[List[Tuple]] = []
+        self.lookup_rows: List[Tuple[int, int, int]] = []
 
     # -- targets -------------------------------------------------------------
 
@@ -117,11 +137,18 @@ class CircuitBuilder:
         self.gate_instances.append(GateInstance(gate, constants))
         return row
 
+    def add_gate_to_gate_set(self, gate):
+        """Register a gate type without placing an instance (used to
+        uniformize gate sets across conditionally-recursive circuits,
+        reference circuit_builder.rs:533-537)."""
+        self.gates[gate.id()] = gate
+
     def find_slot(self, gate, params: Sequence[int],
                   constants: Sequence[int]) -> Tuple[int, int]:
         """reference circuit_builder.rs:824-853."""
         num_gates = self.num_gates()
         num_ops = gate.num_ops
+        self._slot_gates[gate.id()] = gate
         slots = self.current_slots.setdefault(gate.id(), {})
         key = tuple(int(x) % self.spec.p for x in params)
         if key in slots:
@@ -268,6 +295,70 @@ class CircuitBuilder:
 
     def assert_one(self, x):
         self.connect(x, self.one())
+
+    # -- lookups (reference gadgets/lookup.rs:54-160,
+    #    circuit_builder.rs:744-819) -----------------------------------------
+
+    def add_lookup_table_from_pairs(self, pairs) -> int:
+        lut = tuple((int(i) & 0xFFFF, int(o) & 0xFFFF) for i, o in pairs)
+        if lut in self.luts:
+            return self.luts.index(lut)
+        self.luts.append(lut)
+        self.lut_to_lookups.append([])
+        return len(self.luts) - 1
+
+    def add_lookup_table_from_table(self, inputs, outputs) -> int:
+        return self.add_lookup_table_from_pairs(list(zip(inputs, outputs)))
+
+    def add_lookup_table_from_fn(self, f, inputs) -> int:
+        return self.add_lookup_table_from_pairs([(i, f(i)) for i in inputs])
+
+    def add_lookup_from_index(self, looking_in: tgt.Target,
+                              lut_index: int) -> tgt.Target:
+        assert lut_index < len(self.luts), "unknown lookup table"
+        looking_out = self.add_virtual_target()
+        self.lut_to_lookups[lut_index].append((looking_in, looking_out))
+        return looking_out
+
+    def _add_all_lookups(self):
+        """Place LookupGate / LookupTableGate rows (reference
+        gadgets/lookup.rs:83-157).  Rows are deliberately upside down so the
+        transition constraints only need this row + the next."""
+        from ..gates.lookup_gates import LookupGate, LookupTableGate
+        for lut_index, lut in enumerate(self.luts):
+            lookups = self.lut_to_lookups[lut_index]
+            assert lookups, f"LUT {lut_index} is unused"
+            last_lu_gate = self.num_gates()
+            gate = LookupGate.from_config(self.config, lut)
+            num_slots = gate.num_slots
+            full, rem = divmod(len(lookups), num_slots)
+            for c in range(full):
+                row = self.add_gate(gate, [])
+                for i, (lin, lout) in enumerate(
+                        lookups[c * num_slots:(c + 1) * num_slots]):
+                    self.connect(lin, tgt.wire(
+                        row, LookupGate.wire_ith_looking_inp(i)))
+                    self.connect(lout, tgt.wire(
+                        row, LookupGate.wire_ith_looking_out(i)))
+            for lin, lout in lookups[full * num_slots:]:
+                row, i = self.find_slot(gate, [lut_index], [])
+                self.connect(lin, tgt.wire(
+                    row, LookupGate.wire_ith_looking_inp(i)))
+                self.connect(lout, tgt.wire(
+                    row, LookupGate.wire_ith_looking_out(i)))
+
+            last_lut_gate = self.num_gates()
+            num_lut_entries = LookupTableGate.num_slots_of(self.config)
+            num_lut_rows = (len(lut) - 1) // num_lut_entries + 1
+            tgate = LookupTableGate(num_lut_entries, lut, last_lut_gate)
+            for _ in range(num_lut_rows):
+                self.add_gate(tgate, [])
+            first_lut_gate = self.num_gates() - 1
+            # all-zero next row makes the initial constraints plain zero
+            # checks (reference gadgets/lookup.rs:146-149)
+            self.add_gate(NoopGate(), [])
+            self.lookup_rows.append((last_lu_gate, last_lut_gate,
+                                     first_lut_gate))
 
     # -- extension-target gadgets (reference gadgets/arithmetic_extension.rs,
     #    iop/ext_target.rs).  An ExtensionTarget is a tuple of D targets. ---
@@ -434,15 +525,25 @@ class CircuitBuilder:
 
     def permute_swapped(self, state: Sequence[tgt.Target],
                         swap: tgt.Target) -> List[tgt.Target]:
-        """One PoseidonGate row: permute `state` (width 12), conditionally
-        swapping the first two digest-size chunks."""
-        from ..gates.poseidon import PoseidonGate
-        g = PoseidonGate()
-        row = self.add_gate(g, [])
-        self.connect(swap, tgt.wire(row, PoseidonGate.WIRE_SWAP))
+        """One permutation-gate op: permute `state`, conditionally swapping
+        the first two digest-size chunks (Poseidon width-12 for Goldilocks,
+        Poseidon2 width-16 for BabyBear)."""
+        if self.spec.name == "goldilocks":
+            from ..gates.poseidon import PoseidonGate
+            g = PoseidonGate()
+            row = self.add_gate(g, [])
+            self.connect(swap, tgt.wire(row, PoseidonGate.WIRE_SWAP))
+            for i, s in enumerate(state):
+                self.connect(s, tgt.wire(row, PoseidonGate.wire_input(i)))
+            return [tgt.wire(row, PoseidonGate.wire_output(i))
+                    for i in range(len(state))]
+        from ..gates.poseidon2_bb_gate import Poseidon2BabyBearGate
+        g = Poseidon2BabyBearGate.from_config(self.config)
+        row, op = self.find_slot(g, [], [])
+        self.connect(swap, tgt.wire(row, g.wire_swap(op)))
         for i, s in enumerate(state):
-            self.connect(s, tgt.wire(row, PoseidonGate.wire_input(i)))
-        return [tgt.wire(row, PoseidonGate.wire_output(i))
+            self.connect(s, tgt.wire(row, g.wire_input(op, i)))
+        return [tgt.wire(row, g.wire_output(op, i))
                 for i in range(len(state))]
 
     def permute(self, state: Sequence[tgt.Target]) -> List[tgt.Target]:
@@ -496,6 +597,17 @@ class CircuitBuilder:
         for i, t in enumerate(pi_hash_targets):
             self.connect(t, tgt.wire(pi_gate, i))
 
+        # complete partially-filled slot gates whose constraints are not
+        # satisfied by all-zero wires (reference circuit_builder.rs:1082)
+        for gate_id, slots in list(self.current_slots.items()):
+            gate = self._slot_gates[gate_id]
+            for params, (gate_idx, slot_idx) in list(slots.items()):
+                if gate.complete_wires(self, gate_idx, slot_idx):
+                    slots.pop(params, None)
+
+        # place LUT-related gates (reference circuit_builder.rs:1142)
+        self._add_all_lookups()
+
         # anti-#456 randomization (reference circuit_builder.rs:1064-1080)
         random_wire = None
         for w in range(spec.num_hash_out_elts, config.num_wires):
@@ -514,8 +626,10 @@ class CircuitBuilder:
             cg.constant = c
             self.add_simple_generator(cg)
 
-        # blind (zk: later round) and pad to a power of two
-        assert not config.zero_knowledge, "zk blinding lands in a later round"
+        # blind (zk) and pad to a power of two
+        # (reference circuit_builder.rs:924-980 blind_and_pad)
+        if config.zero_knowledge:
+            self._blind()
         while len(self.gate_instances) & (len(self.gate_instances) - 1):
             self.add_gate(NoopGate(), [])
 
@@ -531,7 +645,16 @@ class CircuitBuilder:
         selector_polys, selectors_info = selectors_mod.selector_polynomials(
             gates, self.gate_instances, quotient_degree_factor + 1, p)
 
-        constant_vecs = list(selector_polys) + self._constant_polys(gates)
+        constant_vecs = list(selector_polys)
+        num_lookup_selectors = 0
+        if self.luts:
+            lookup_sels = selectors_mod.selectors_lookup(degree,
+                                                         self.lookup_rows)
+            lookup_ends = selectors_mod.selector_ends_lookups(
+                degree, self.lookup_rows)
+            constant_vecs += lookup_sels + lookup_ends
+            num_lookup_selectors = len(lookup_sels) + len(lookup_ends)
+        constant_vecs += self._constant_polys(gates)
         num_constants = len(constant_vecs)
 
         subgroup = host.two_adic_subgroup(spec, degree_bits)
@@ -581,6 +704,15 @@ class CircuitBuilder:
         circuit_digest = self.hasher.hash_no_pad_host(
             cap_flat + domain_sep_digest + [degree_bits])
 
+        # lookup poly count: 1 RE + ceil(slots / (qdf - 1)) partial SLDCs
+        # (reference circuit_builder.rs:1290-1299)
+        from ..gates.lookup_gates import LookupGate
+        num_lookup_polys = 0
+        if self.luts:
+            lookup_degree = config.max_quotient_degree_factor - 1
+            num_lookup_polys = 1 + -(-LookupGate.num_slots_of(config)
+                                     // lookup_degree)
+
         common = CommonCircuitData(
             config=config, spec=spec, fri_params=fri_params, gates=gates,
             selectors_info=selectors_info,
@@ -588,7 +720,10 @@ class CircuitBuilder:
             num_gate_constraints=num_gate_constraints,
             num_constants=num_constants,
             num_public_inputs=num_public_inputs,
-            k_is=k_is, num_partial_products=num_partial_products)
+            k_is=k_is, num_partial_products=num_partial_products,
+            num_lookup_polys=num_lookup_polys,
+            num_lookup_selectors=num_lookup_selectors,
+            luts=list(self.luts))
 
         prover_only = ProverOnlyCircuitData(
             generators=self.generators,
@@ -599,15 +734,69 @@ class CircuitBuilder:
             public_inputs=self.public_inputs,
             representative_map=forest.parents,
             circuit_digest=circuit_digest,
-            random_wire=random_wire)
+            random_wire=random_wire,
+            lookup_rows=list(self.lookup_rows),
+            lut_to_lookups=[list(v) for v in self.lut_to_lookups])
 
         verifier_only = VerifierOnlyCircuitData(
             constants_sigmas_cap=constants_sigmas_commitment.cap_host(),
             circuit_digest=circuit_digest)
 
+        if self.goal_common_data is not None:
+            # cyclic-recursion fixpoint (reference circuit_builder.rs:1332)
+            assert common == self.goal_common_data, \
+                "cyclic recursion: built common data != goal common data"
+
         return CircuitData(common=common, prover_only=prover_only,
                            verifier_only=verifier_only, F=self.F,
                            hasher=self.hasher)
+
+    def _num_blinding_gates(self, degree_estimate: int):
+        """reference circuit_builder.rs:873-898."""
+        D = self.spec.ext_degree
+        degree_bits_estimate = host.log2_strict(degree_estimate)
+        fri_queries = self.config.fri_config.num_query_rounds
+        params = self.config.fri_config.fri_params(degree_bits_estimate,
+                                                   True)
+        arities = [1 << a for a in params.reduction_arity_bits]
+        total_fold_points = sum(a - 1 for a in arities)
+        prod = 1
+        for a in arities:
+            prod *= a
+        final_poly_coeffs = degree_estimate // prod
+        fri_openings = fri_queries * (1 + D * total_fold_points
+                                      + D * final_poly_coeffs)
+        return D + fri_openings, 2 * D + fri_openings
+
+    def _blinding_counts(self):
+        """reference circuit_builder.rs:903-922."""
+        num_gates = len(self.gate_instances)
+        degree_estimate = 1 << host.log2_ceil(max(num_gates, 2))
+        while True:
+            regular, z = self._num_blinding_gates(degree_estimate)
+            if num_gates + regular + 2 * z <= degree_estimate:
+                return regular, z
+            degree_estimate *= 2
+
+    def _blind(self):
+        """zk blinding rows (reference circuit_builder.rs:924-980): one
+        random row per regular opening; for each Z opening, two rows with
+        copy-constrained random routed wires."""
+        regular, z_openings = self._blinding_counts()
+        p = self.spec.p
+        for _ in range(regular):
+            row = self.add_gate(NoopGate(), [])
+            for w in range(self.config.num_wires):
+                self.add_simple_generator(
+                    gen.RandomValueGenerator(tgt.wire(row, w), p))
+        for _ in range(z_openings):
+            row1 = self.add_gate(NoopGate(), [])
+            row2 = self.add_gate(NoopGate(), [])
+            for w in range(self.config.num_routed_wires):
+                self.add_simple_generator(
+                    gen.RandomValueGenerator(tgt.wire(row1, w), p))
+                self.generate_copy(tgt.wire(row1, w), tgt.wire(row2, w))
+                self.connect(tgt.wire(row1, w), tgt.wire(row2, w))
 
     def _hash_pad(self, inputs: List[int]) -> List[int]:
         """pad10*1 then hash (reference plonk/config.rs:58-66)."""

@@ -178,6 +178,8 @@ class ProverOnlyCircuitData:
     representative_map: np.ndarray
     circuit_digest: List[int]
     random_wire: Optional[Tuple[int, int]] = None   # (row, column)
+    lookup_rows: List[Tuple[int, int, int]] = field(default_factory=list)
+    lut_to_lookups: List[List] = field(default_factory=list)
 
 
 @dataclass

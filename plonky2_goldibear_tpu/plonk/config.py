@@ -34,7 +34,49 @@ class FriReductionStrategy:
                 out.append(self.arity_bits)
                 db -= self.arity_bits
             return out
-        raise NotImplementedError("MinSize strategy: later round")
+        if self.kind == "min_size":
+            return _min_size_arity_bits(degree_bits, rate_bits, num_queries,
+                                        self.max_arity_bits or 4)
+        raise ValueError(self.kind)
+
+
+def _relative_proof_size(degree_bits, rate_bits, num_queries, arity_bits):
+    """reference fri/reduction_strategies.rs:133-161 (D=4 convention)."""
+    D = 4
+    current = degree_bits + rate_bits
+    total = 0
+    for ab in arity_bits:
+        total += ((1 << ab) - 1) * D * num_queries
+        total += current * 4 * num_queries
+        current -= ab
+    assert current >= rate_bits
+    return total + D * (1 << (current - rate_bits))
+
+
+def _min_size_arity_bits(degree_bits, rate_bits, num_queries,
+                         max_arity_bits, prefix=()):
+    """Exhaustive monotone search minimizing estimated proof size
+    (reference fri/reduction_strategies.rs:58-130)."""
+    current_layer = degree_bits + rate_bits - sum(prefix)
+    best = list(prefix)
+    best_size = _relative_proof_size(degree_bits, rate_bits, num_queries,
+                                     prefix)
+    local_max = min(prefix[-1] if prefix else max_arity_bits,
+                    current_layer - rate_bits)
+    for nxt in range(1, local_max + 1):
+        cand, size = _min_size_helper(degree_bits, rate_bits, num_queries,
+                                      local_max, tuple(prefix) + (nxt,))
+        if size < best_size:
+            best, best_size = cand, size
+    return best
+
+
+def _min_size_helper(degree_bits, rate_bits, num_queries, max_arity_bits,
+                     prefix):
+    best = _min_size_arity_bits(degree_bits, rate_bits, num_queries,
+                                max_arity_bits, prefix)
+    return best, _relative_proof_size(degree_bits, rate_bits, num_queries,
+                                      best)
 
 
 @dataclass(frozen=True)

@@ -27,7 +27,10 @@ def get_challenges(proof_with_pis: ProofWithPublicInputs,
     plonk_betas = ch.get_n_challenges(num_challenges)
     plonk_gammas = ch.get_n_challenges(num_challenges)
 
-    assert common.num_lookup_polys == 0, "lookup deltas: later round"
+    plonk_deltas = []
+    if common.num_lookup_polys != 0:
+        additional = ch.get_n_challenges(2 * num_challenges)
+        plonk_deltas = list(plonk_betas) + list(plonk_gammas) + additional
 
     ch.observe_cap(proof.plonk_zs_partial_products_cap)
     plonk_alphas = ch.get_n_challenges(num_challenges)
@@ -54,6 +57,7 @@ def get_challenges(proof_with_pis: ProofWithPublicInputs,
     return {
         "plonk_betas": plonk_betas,
         "plonk_gammas": plonk_gammas,
+        "plonk_deltas": plonk_deltas,
         "plonk_alphas": plonk_alphas,
         "plonk_zeta": plonk_zeta,
         "fri_alpha": fri_alpha,

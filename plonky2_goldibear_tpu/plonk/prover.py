@@ -45,6 +45,7 @@ def prove(prover_data, common, inputs: PartialWitness,
           F=gl_mod, hasher=poseidon_gl) -> ProofWithPublicInputs:
     """reference prover.rs:136-230 (incl. the anti-#456 retry loop)."""
     partition_witness = generate_partial_witness(inputs, prover_data, common)
+    set_lookup_wires(prover_data, common, partition_witness)
     public_inputs = partition_witness.get_targets(prover_data.public_inputs)
     witness = partition_witness.full_witness()
 
@@ -64,6 +65,107 @@ def prove(prover_data, common, inputs: PartialWitness,
 
 def _ext_ops(F):
     return ext_mod.gl2 if F.SPEC.name == "goldilocks" else ext_mod.bb4
+
+
+def set_lookup_wires(prover_data, common, pw):
+    """Fill multiplicities and pad unused looking slots
+    (reference prover.rs:64-134)."""
+    from ..gates.lookup_gates import LookupGate, LookupTableGate
+    from ..iop import target as tgt
+    for lut_index, (last_lu, last_lut, first_lut) in enumerate(
+            prover_data.lookup_rows):
+        lut = common.luts[lut_index]
+        num_entries = LookupGate.num_slots_of(common.config)
+        num_lut_entries = LookupTableGate.num_slots_of(common.config)
+
+        multiplicities = [0] * len(lut)
+        value_to_idx = {inp: i for i, (inp, _) in enumerate(lut)}
+        for inp_target, _ in prover_data.lut_to_lookups[lut_index]:
+            inp_value = pw.get_target(inp_target)
+            multiplicities[value_to_idx[inp_value]] += 1
+
+        # pad the last LookupGate with the first LUT entry
+        n_lookups = len(prover_data.lut_to_lookups[lut_index])
+        remaining = (num_entries - n_lookups % num_entries) % num_entries
+        first_inp, first_out = lut[0]
+        for slot in range(num_entries - remaining, num_entries):
+            pw.set_target(tgt.wire(last_lut - 1,
+                                   LookupGate.wire_ith_looking_inp(slot)),
+                          first_inp)
+            pw.set_target(tgt.wire(last_lut - 1,
+                                   LookupGate.wire_ith_looking_out(slot)),
+                          first_out)
+            multiplicities[0] += 1
+
+        for entry in range(len(lut)):
+            row = first_lut - entry // num_lut_entries
+            col = entry % num_lut_entries
+            pw.set_target(
+                tgt.wire(row, LookupTableGate.wire_ith_multiplicity(col)),
+                multiplicities[entry])
+
+
+def compute_lookup_polys(common, prover_data, witness, deltas4):
+    """Host computation of RE + partial SLDC columns for one challenge set
+    (reference prover.rs:555-674); rows are upside down, built backwards."""
+    from ..gates.lookup_gates import LookupGate, LookupTableGate
+    p = common.spec.p
+    degree = common.degree
+    num_lu_slots = LookupGate.num_slots_of(common.config)
+    max_lookup_degree = common.config.max_quotient_degree_factor - 1
+    num_partial = -(-num_lu_slots // max_lookup_degree)
+    num_lut_slots = LookupTableGate.num_slots_of(common.config)
+    max_lut_degree = -(-num_lut_slots // num_partial)
+    d_a, d_b, d_alpha, d_delta = deltas4
+
+    polys = [[0] * degree for _ in range(num_partial + 1)]
+    wv = witness  # (num_wires, degree) numpy uint64
+
+    for last_lu, last_lut, first_lut in prover_data.lookup_rows:
+        for row in range(first_lut, last_lut - 1, -1):
+            looked = [(int(wv[LookupTableGate.wire_ith_looked_inp(s), row])
+                       + d_a * int(wv[LookupTableGate.wire_ith_looked_out(s),
+                                      row])) % p
+                      for s in range(num_lut_slots)]
+            inv = host.batch_inv([(d_alpha - c) % p for c in looked], p)
+            lookup_combos = [
+                (int(wv[LookupTableGate.wire_ith_looked_inp(s), row])
+                 + d_b * int(wv[LookupTableGate.wire_ith_looked_out(s),
+                                row])) % p
+                for s in range(num_lut_slots)]
+            new_re = polys[0][row + 1] if row + 1 < degree else 0
+            for elt in lookup_combos:
+                new_re = (new_re * d_delta + elt) % p
+            polys[0][row] = new_re
+            for slot in range(num_partial):
+                if slot != 0:
+                    prev = polys[slot][row]
+                else:
+                    prev = polys[num_partial][row + 1]
+                s_lo = slot * max_lut_degree
+                s_hi = min((slot + 1) * max_lut_degree, num_lut_slots)
+                acc = prev
+                for s in range(s_lo, s_hi):
+                    acc = (acc + int(wv[
+                        LookupTableGate.wire_ith_multiplicity(s), row])
+                        * inv[s]) % p
+                polys[slot + 1][row] = acc
+        for row in range(last_lut - 1, last_lu - 1, -1):
+            looking = [(int(wv[LookupGate.wire_ith_looking_inp(s), row])
+                        + d_a * int(wv[LookupGate.wire_ith_looking_out(s),
+                                       row])) % p
+                       for s in range(num_lu_slots)]
+            inv = host.batch_inv([(d_alpha - c) % p for c in looking], p)
+            for slot in range(num_partial):
+                if slot == 0:
+                    prev = polys[num_partial][row + 1]
+                else:
+                    prev = polys[slot][row]
+                s_lo = slot * max_lookup_degree
+                s_hi = min((slot + 1) * max_lookup_degree, num_lu_slots)
+                acc = sum(inv[s] for s in range(s_lo, s_hi)) % p
+                polys[slot + 1][row] = (prev - acc) % p
+    return polys
 
 
 def _scalars(F, values: Sequence[int]):
@@ -180,7 +282,8 @@ class ProverKernels:
     # ---- quotient (reference prover.rs:690-926) -----------------------------
 
     def _quotient(self, cs_lde, wires_lde, zs_pp_lde, pi_hash_arr,
-                  betas_arr, gammas_arr, alphas_arr):
+                  betas_arr, gammas_arr, alphas_arr, deltas_arr,
+                  lut_re_arr):
         F = self.F
         common = self.common
         config = common.config
@@ -217,11 +320,28 @@ class ProverKernels:
                   for i in range(nch)]
         alphas = [tree_map(lambda a, i=i: a[i], alphas_arr)
                   for i in range(nch)]
+        has_lookup = common.num_lookup_polys != 0
+        deltas = []
+        lut_re = []
+        local_lk = []
+        next_lk = []
+        if has_lookup:
+            deltas = [tree_map(lambda a, i=i: a[i], deltas_arr)
+                      for i in range(4 * nch)]
+            nluts = len(common.luts)
+            lut_re = [[tree_map(lambda a, k=k: a[i * nluts + k], lut_re_arr)
+                       for k in range(nluts)] for i in range(nch)]
+            lk0 = common.num_zs_partial_products_polys()
+            lk1 = lk0 + common.num_all_lookup_polys()
+            local_lk = rows(zs_pp, lk0, lk1)
+            next_lk = rows(zs_pp_next, lk0, lk1)
 
         vanishing_values = vanishing.eval_vanishing_poly(
             A, common, self.shifted_xs, self.l_0, vars,
             rows(zs_pp, z0, z1), rows(zs_pp_next, z0, z1),
-            rows(zs_pp, pp0, pp1), rows(cs, s0, s1), betas, gammas, alphas)
+            rows(zs_pp, pp0, pp1), rows(cs, s0, s1), betas, gammas, alphas,
+            deltas=deltas, local_lookup_zs=local_lk, next_lookup_zs=next_lk,
+            lut_re_evals=lut_re)
 
         chunks = []
         for v in vanishing_values:
@@ -254,9 +374,10 @@ def _internal_prove(prover_data, common, witness: np.ndarray,
     kern = _kernels(prover_data, common, F, hasher)
     public_inputs_hash = hasher.hash_no_pad_host(public_inputs)
 
+    zk = config.zero_knowledge   # oracle blinding flags, plonk_common.rs:24-40
     wires_values = F.from_ints(witness)   # (num_wires, degree)
     wires_commitment = PolynomialBatch.from_values(
-        F, wires_values, rate_bits, cap_height, hasher=hasher)
+        F, wires_values, rate_bits, cap_height, hasher=hasher, blinding=zk)
 
     challenger = Challenger(spec=spec, permute=hasher.permute_host,
                             width=hasher.WIDTH, rate=hasher.RATE)
@@ -267,9 +388,18 @@ def _internal_prove(prover_data, common, witness: np.ndarray,
     betas = challenger.get_n_challenges(num_challenges)
     gammas = challenger.get_n_challenges(num_challenges)
 
+    has_lookup = common.num_lookup_polys != 0
+    deltas = []
+    if has_lookup:
+        # reuse betas and gammas as the first deltas
+        # (reference prover.rs:283-299)
+        additional = challenger.get_n_challenges(2 * num_challenges)
+        deltas = list(betas) + list(gammas) + additional
+
     def to_arr(vals):
         return F.from_ints(np.fromiter((int(v) for v in vals),
-                                       dtype=np.uint64, count=len(vals)))
+                                       dtype=np.uint64, count=max(len(vals),
+                                                                  0)))
 
     routed = tree_map(lambda a: a[:config.num_routed_wires], wires_values)
     zs_partial_products, any_zero = kern.pp_fn(routed, to_arr(betas),
@@ -277,19 +407,36 @@ def _internal_prove(prover_data, common, witness: np.ndarray,
     if bool(jax.device_get(any_zero)):
         raise InvZeroPermArg()
 
+    lut_re_evals = []
+    if has_lookup:
+        import jax.numpy as jnp
+        lookup_cols = []
+        for i in range(num_challenges):
+            lookup_cols.extend(compute_lookup_polys(
+                common, prover_data, witness, deltas[4 * i:4 * (i + 1)]))
+        lookup_arr = F.from_ints(np.array(lookup_cols, dtype=np.uint64))
+        zs_partial_products = tree_map(
+            lambda a, b: jnp.concatenate([a, b], axis=0),
+            zs_partial_products, lookup_arr)
+        lut_re_evals = vanishing.get_lut_re_evals(common, deltas)
+
     zs_pp_commitment = PolynomialBatch.from_values(
-        F, zs_partial_products, rate_bits, cap_height, hasher=hasher)
+        F, zs_partial_products, rate_bits, cap_height, hasher=hasher,
+        blinding=zk)
     challenger.observe_cap(zs_pp_commitment.cap_host())
 
     alphas = challenger.get_n_challenges(num_challenges)
 
+    flat_lut_re = [v for evs in lut_re_evals for v in evs]
     quotient_chunks = kern.quotient_fn(
         prover_data.constants_sigmas_commitment.lde, wires_commitment.lde,
         zs_pp_commitment.lde, to_arr(public_inputs_hash), to_arr(betas),
-        to_arr(gammas), to_arr(alphas))
+        to_arr(gammas), to_arr(alphas), to_arr(deltas),
+        to_arr(flat_lut_re))
 
     quotient_commitment = PolynomialBatch(
-        F, quotient_chunks, rate_bits, cap_height, hasher=hasher)
+        F, quotient_chunks, rate_bits, cap_height, hasher=hasher,
+        blinding=zk)
     challenger.observe_cap(quotient_commitment.cap_host())
 
     zeta = challenger.get_extension_challenge()

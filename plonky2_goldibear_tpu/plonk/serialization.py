@@ -321,3 +321,223 @@ def read_proof_with_public_inputs(data: bytes, common: CommonCircuitData
     public_inputs = buf.read_field_vec(pi_len, spec)
     assert buf.pos == len(data), (buf.pos, len(data))
     return ProofWithPublicInputs(proof=proof, public_inputs=public_inputs)
+
+
+# -- writing (mirrors reading; reference Write trait) -------------------------
+
+
+class Writer:
+    def __init__(self):
+        self.out = bytearray()
+
+    def write_u8(self, v: int):
+        self.out.append(v & 0xFF)
+
+    def write_bool(self, v: bool):
+        self.write_u8(1 if v else 0)
+
+    def write_u32(self, v: int):
+        self.out += struct.pack("<I", v)
+
+    def write_usize(self, v: int):
+        self.out += struct.pack("<Q", v)
+
+    def write_usize_vec(self, vs):
+        self.write_usize(len(vs))
+        for v in vs:
+            self.write_usize(v)
+
+    def write_field(self, v: int):
+        self.out += struct.pack("<Q", int(v))
+
+    def write_field_vec(self, vs):
+        for v in vs:
+            self.write_field(v)
+
+    def write_field_ext(self, v):
+        for c in v:
+            self.write_field(c)
+
+    def write_field_ext_vec(self, vs):
+        for v in vs:
+            self.write_field_ext(v)
+
+    def write_hash(self, h, spec=host.GOLDILOCKS):
+        if spec.bits > 32:
+            for x in h:
+                self.out += struct.pack("<Q", int(x))
+        else:
+            for x in h:
+                self.out += struct.pack("<I", int(x))
+
+    def write_merkle_cap(self, cap, spec=host.GOLDILOCKS):
+        for h in cap:
+            self.write_hash(h, spec)
+
+    def write_merkle_proof(self, siblings, spec=host.GOLDILOCKS):
+        self.write_u8(len(siblings))
+        for h in siblings:
+            self.write_hash(h, spec)
+
+
+def _write_fri_reduction_strategy(w: Writer, s: FriReductionStrategy):
+    if s.kind == "fixed":
+        w.write_u8(0)
+        w.write_usize_vec(list(s.fixed))
+    elif s.kind == "constant_arity":
+        w.write_u8(1)
+        w.write_usize(s.arity_bits)
+        w.write_usize(s.final_poly_bits)
+    else:
+        w.write_u8(2)
+        if s.max_arity_bits is None:
+            w.write_u8(0)
+        else:
+            w.write_u8(1)
+            w.write_usize(s.max_arity_bits)
+
+
+def _write_fri_config(w: Writer, c: FriConfig):
+    w.write_usize(c.rate_bits)
+    w.write_usize(c.cap_height)
+    w.write_usize(c.num_query_rounds)
+    w.write_u32(c.proof_of_work_bits)
+    _write_fri_reduction_strategy(w, c.reduction_strategy)
+
+
+def _write_circuit_config(w: Writer, c: CircuitConfig):
+    w.write_usize(c.num_wires)
+    w.write_usize(c.num_routed_wires)
+    w.write_usize(c.num_constants)
+    w.write_usize(c.security_bits)
+    w.write_usize(c.num_challenges)
+    w.write_usize(c.max_quotient_degree_factor)
+    w.write_bool(c.use_base_arithmetic_gate)
+    w.write_bool(c.zero_knowledge)
+    _write_fri_config(w, c.fri_config)
+
+
+def _write_fri_params(w: Writer, p: FriParams):
+    _write_fri_config(w, p.config)
+    w.write_usize_vec(list(p.reduction_arity_bits))
+    w.write_usize(p.degree_bits)
+    w.write_bool(p.hiding)
+
+
+def _write_gate(w: Writer, gate, spec):
+    if isinstance(gate, ArithmeticGate):
+        w.write_u32(0)
+        w.write_usize(gate.num_ops)
+    elif isinstance(gate, ArithmeticExtensionGate):
+        w.write_u32(1)
+        w.write_usize(gate.num_ops)
+    elif isinstance(gate, BaseSumGate):
+        assert gate.base == 2
+        w.write_u32(2)
+        w.write_usize(gate.num_limbs)
+    elif isinstance(gate, ConstantGate):
+        w.write_u32(3)
+        w.write_usize(gate.num_consts)
+    elif isinstance(gate, CosetInterpolationGate):
+        w.write_u32(4)
+        w.write_usize(gate.subgroup_bits)
+        w.write_usize(gate.gate_degree)
+        w.write_usize(len(gate.barycentric_weights))
+        w.write_field_vec(gate.barycentric_weights)
+    elif isinstance(gate, ExponentiationGate):
+        w.write_u32(5)
+        w.write_usize(gate.num_power_bits)
+    elif isinstance(gate, MulExtensionGate):
+        w.write_u32(8)
+        w.write_usize(gate.num_ops)
+    elif isinstance(gate, NoopGate):
+        w.write_u32(9)
+    elif isinstance(gate, PoseidonMdsGate):
+        w.write_u32(10)
+    elif isinstance(gate, PoseidonGate):
+        w.write_u32(11)
+    elif isinstance(gate, PublicInputGate):
+        w.write_u32(12)
+    elif isinstance(gate, RandomAccessGate):
+        w.write_u32(13)
+        w.write_usize(gate.bits)
+        w.write_usize(gate.num_copies)
+        w.write_usize(gate.num_extra_constants)
+    elif isinstance(gate, ReducingExtensionGate):
+        w.write_u32(14)
+        w.write_usize(gate.num_coeffs)
+    elif isinstance(gate, ReducingGate):
+        w.write_u32(15)
+        w.write_usize(gate.num_coeffs)
+    else:
+        raise NotImplementedError(type(gate))
+
+
+def write_common_circuit_data(common: CommonCircuitData) -> bytes:
+    w = Writer()
+    _write_circuit_config(w, common.config)
+    _write_fri_params(w, common.fri_params)
+    w.write_usize_vec(common.selectors_info.selector_indices)
+    w.write_usize(len(common.selectors_info.groups))
+    for a, b in common.selectors_info.groups:
+        w.write_usize(a)
+        w.write_usize(b)
+    w.write_usize(common.quotient_degree_factor)
+    w.write_usize(common.num_gate_constraints)
+    w.write_usize(common.num_constants)
+    w.write_usize(common.num_public_inputs)
+    w.write_usize(len(common.k_is))
+    w.write_field_vec(common.k_is)
+    w.write_usize(common.num_partial_products)
+    w.write_usize(common.num_lookup_polys)
+    w.write_usize(common.num_lookup_selectors)
+    w.write_usize(len(common.luts))
+    assert not common.luts, "LUT serialization: later round"
+    w.write_usize(len(common.gates))
+    for g in common.gates:
+        _write_gate(w, g, common.spec)
+    return bytes(w.out)
+
+
+def write_verifier_only_circuit_data(vk: VerifierOnlyCircuitData,
+                                     spec=host.GOLDILOCKS) -> bytes:
+    w = Writer()
+    w.write_usize(host.log2_strict(len(vk.constants_sigmas_cap)))
+    w.write_merkle_cap(vk.constants_sigmas_cap, spec)
+    w.write_hash(vk.circuit_digest, spec)
+    return bytes(w.out)
+
+
+def write_proof_with_public_inputs(pwp: ProofWithPublicInputs,
+                                   common: CommonCircuitData) -> bytes:
+    spec = common.spec
+    w = Writer()
+    p = pwp.proof
+    w.write_merkle_cap(p.wires_cap, spec)
+    w.write_merkle_cap(p.plonk_zs_partial_products_cap, spec)
+    w.write_merkle_cap(p.quotient_polys_cap, spec)
+    o = p.openings
+    w.write_field_ext_vec(o.constants)
+    w.write_field_ext_vec(o.plonk_sigmas)
+    w.write_field_ext_vec(o.wires)
+    w.write_field_ext_vec(o.plonk_zs)
+    w.write_field_ext_vec(o.plonk_zs_next)
+    w.write_field_ext_vec(o.lookup_zs)
+    w.write_field_ext_vec(o.lookup_zs_next)
+    w.write_field_ext_vec(o.partial_products)
+    w.write_field_ext_vec(o.quotient_polys)
+    f = p.opening_proof
+    for cap in f.commit_phase_merkle_caps:
+        w.write_merkle_cap(cap, spec)
+    for rnd in f.query_round_proofs:
+        for vals, mp in rnd.initial_trees_proof.evals_proofs:
+            w.write_field_vec(vals)
+            w.write_merkle_proof(mp, spec)
+        for step in rnd.steps:
+            w.write_field_ext_vec(step.evals)
+            w.write_merkle_proof(step.merkle_proof, spec)
+    w.write_field_ext_vec(f.final_poly)
+    w.write_field(f.pow_witness)
+    w.write_usize(len(pwp.public_inputs))
+    w.write_field_vec(pwp.public_inputs)
+    return bytes(w.out)

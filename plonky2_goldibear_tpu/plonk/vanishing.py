@@ -83,34 +83,191 @@ def reduce_with_powers(A, terms: Sequence, alpha):
     return cumul
 
 
+def get_lut_poly_coeffs(common, lut_index: int, delta_b: int) -> List[int]:
+    """Host coefficients of the LUT polynomial: entries inp + B*out, padded
+    with zeros to num_lut_slots*rows, then REVERSED (reference
+    vanishing_poly.rs:31-52)."""
+    from ..gates.lookup_gates import LookupTableGate
+    p = common.spec.p
+    lut = common.luts[lut_index]
+    num_lut_slots = LookupTableGate.num_slots_of(common.config)
+    rows = -(-len(lut) // num_lut_slots)
+    degree = num_lut_slots * rows
+    coeffs = [(inp + delta_b * out) % p for inp, out in lut]
+    coeffs += [0] * (degree - len(coeffs))
+    coeffs.reverse()
+    return coeffs
+
+
+def get_lut_re_evals(common, deltas: Sequence[int]) -> List[List[int]]:
+    """Host: per challenge, per LUT, the RE-check value
+    get_lut_poly(...).eval(delta) (reference prover.rs:757-784)."""
+    p = common.spec.p
+    out = []
+    nch = common.config.num_challenges
+    for i in range(nch):
+        cur = deltas[4 * i:4 * (i + 1)]
+        evals = []
+        for li in range(len(common.luts)):
+            coeffs = get_lut_poly_coeffs(common, li, cur[1])  # ChallengeB
+            acc = 0
+            for c in reversed(coeffs):
+                acc = (acc * cur[3] + c) % p                  # ChallengeDelta
+            evals.append(acc)
+        out.append(evals)
+    return out
+
+
+def check_lookup_constraints(A, common, vars: EvaluationVars,
+                             local_lookup_zs, next_lookup_zs,
+                             lookup_selectors, deltas4, lut_re_evals) -> List:
+    """logUp constraints for one challenge set (reference
+    vanishing_poly.rs:370-535).  deltas4 = [A, B, Alpha, Delta] scalars;
+    lut_re_evals = per-LUT scalar RE-check values."""
+    from ..gates.lookup_gates import LookupGate, LookupTableGate
+    from ..gates.selectors import (LOOKUP_SEL_INIT_SRE, LOOKUP_SEL_LAST_LDC,
+                                   LOOKUP_SEL_START_END, LOOKUP_SEL_TRANS_LDC,
+                                   LOOKUP_SEL_TRANS_SRE)
+    num_lu_slots = LookupGate.num_slots_of(common.config)
+    num_lut_slots = LookupTableGate.num_slots_of(common.config)
+    lu_degree = common.quotient_degree_factor - 1
+    num_sldc = len(local_lookup_zs) - 1
+    lut_degree = -(-num_lut_slots // num_sldc)
+    lw = vars.local_wires
+    delta_a, delta_b, delta_alpha, _ = deltas4
+
+    constraints = []
+    z_re = local_lookup_zs[0]
+    next_z_re = next_lookup_zs[0]
+    z_x_sldcs = local_lookup_zs[1:]
+    z_gx_sldcs = next_lookup_zs[1:]
+
+    looked = [A.add(lw[LookupTableGate.wire_ith_looked_inp(s)],
+                    A.mul_scalar(lw[LookupTableGate.wire_ith_looked_out(s)],
+                                 delta_a))
+              for s in range(num_lut_slots)]
+    looking = [A.add(lw[LookupGate.wire_ith_looking_inp(s)],
+                     A.mul_scalar(lw[LookupGate.wire_ith_looking_out(s)],
+                                  delta_a))
+               for s in range(num_lu_slots)]
+    lookup_combos = [A.add(lw[LookupTableGate.wire_ith_looked_inp(s)],
+                           A.mul_scalar(
+                               lw[LookupTableGate.wire_ith_looked_out(s)],
+                               delta_b))
+                     for s in range(num_lut_slots)]
+    # alpha - combo terms
+    alpha_l = A.lift_scalar(delta_alpha)
+    m_looked = [A.sub(alpha_l, c) for c in looked]
+    m_looking = [A.sub(alpha_l, c) for c in looking]
+
+    constraints.append(A.mul(lookup_selectors[LOOKUP_SEL_LAST_LDC],
+                             z_x_sldcs[num_sldc - 1]))
+    constraints.append(A.mul(lookup_selectors[LOOKUP_SEL_INIT_SRE],
+                             z_x_sldcs[0]))
+    constraints.append(A.mul(lookup_selectors[LOOKUP_SEL_INIT_SRE], z_re))
+
+    for r in range(LOOKUP_SEL_START_END, common.num_lookup_selectors):
+        re_eval = lut_re_evals[r - LOOKUP_SEL_START_END]
+        constraints.append(A.mul(
+            lookup_selectors[r],
+            A.sub(z_re, A.lift_scalar(re_eval))))
+
+    # RE row transition
+    cur_sum = next_z_re
+    for elt in lookup_combos:
+        cur_sum = A.add(A.mul_scalar(cur_sum, deltas4[3]), elt)
+    constraints.append(A.mul(lookup_selectors[LOOKUP_SEL_TRANS_SRE],
+                             A.sub(z_re, cur_sum)))
+
+    for poly in range(num_sldc):
+        lut_rng = range(poly * lut_degree,
+                        min((poly + 1) * lut_degree, num_lut_slots))
+        lu_rng = range(poly * lu_degree,
+                       min((poly + 1) * lu_degree, num_lu_slots))
+
+        def prod(terms):
+            acc = None
+            for t in terms:
+                acc = t if acc is None else A.mul(acc, t)
+            return acc if acc is not None else A.one()
+
+        lut_prod = prod([m_looked[i] for i in lut_rng])
+        lu_prod = prod([m_looking[i] for i in lu_rng])
+        lu_sum_prods = None
+        for i in lu_rng:
+            t = prod([m_looking[j] for j in lu_rng if j != i])
+            lu_sum_prods = t if lu_sum_prods is None else \
+                A.add(lu_sum_prods, t)
+        if lu_sum_prods is None:
+            lu_sum_prods = A.zero()
+        lut_sum_prods_mul = None
+        for i in lut_rng:
+            t = A.mul(lw[LookupTableGate.wire_ith_multiplicity(i)],
+                      prod([m_looked[j] for j in lut_rng if j != i]))
+            lut_sum_prods_mul = t if lut_sum_prods_mul is None else \
+                A.add(lut_sum_prods_mul, t)
+        if lut_sum_prods_mul is None:
+            lut_sum_prods_mul = A.zero()
+
+        prev = z_gx_sldcs[num_sldc - 1] if poly == 0 else z_x_sldcs[poly - 1]
+        sum_trans = A.sub(A.mul(lut_prod, A.sub(z_x_sldcs[poly], prev)),
+                          lut_sum_prods_mul)
+        constraints.append(A.mul(lookup_selectors[LOOKUP_SEL_TRANS_SRE],
+                                 sum_trans))
+        ldc_trans = A.add(A.mul(lu_prod, A.sub(z_x_sldcs[poly], prev)),
+                          lu_sum_prods)
+        constraints.append(A.mul(lookup_selectors[LOOKUP_SEL_TRANS_LDC],
+                                 ldc_trans))
+    return constraints
+
+
 def eval_vanishing_poly(A, common, x, l_0_x, vars: EvaluationVars,
                         local_zs: Sequence, next_zs: Sequence,
                         partial_products: Sequence, s_sigmas: Sequence,
                         betas: Sequence[int], gammas: Sequence[int],
-                        alphas: Sequence[int]) -> List:
+                        alphas: Sequence[int], deltas: Sequence = (),
+                        local_lookup_zs: Sequence = (),
+                        next_lookup_zs: Sequence = (),
+                        lut_re_evals: Sequence = ()) -> List:
     """Returns one combined value per alpha challenge
-    (reference vanishing_poly.rs:57-180; lookups land in a later round).
+    (reference vanishing_poly.rs:57-180).
 
-    x and every entry of vars/zs/sigmas are algebra values; betas, gammas and
-    alphas are base-field *scalars* — host ints for the verifier, traced
-    scalar device arrays for the prover (so challenge values stay out of the
-    compiled graph).
+    x and every entry of vars/zs/sigmas are algebra values; betas, gammas,
+    alphas and deltas are base-field *scalars* — host ints for the verifier,
+    traced scalar device arrays for the prover (so challenge values stay out
+    of the compiled graph).
     """
     max_degree = common.quotient_degree_factor
     num_prods = common.num_partial_products
     num_challenges = common.config.num_challenges
     num_routed = common.config.num_routed_wires
+    has_lookup = common.num_lookup_polys != 0
 
     constraint_terms = evaluate_gate_constraints(A, common, vars)
 
+    if has_lookup:
+        ns = common.selectors_info.num_selectors
+        lookup_selectors = vars.local_constants[
+            ns:ns + common.num_lookup_selectors]
+
     vanishing_z_1_terms = []
     vanishing_partial_products_terms = []
+    vanishing_all_lookup_terms = []
 
     for i in range(num_challenges):
         z_x = local_zs[i]
         z_gx = next_zs[i]
         vanishing_z_1_terms.append(
             A.mul(l_0_x, A.add_base_const(z_x, common.spec.p - 1)))
+
+        if has_lookup:
+            npoly = common.num_lookup_polys
+            vanishing_all_lookup_terms.extend(check_lookup_constraints(
+                A, common, vars,
+                local_lookup_zs[npoly * i:npoly * (i + 1)],
+                next_lookup_zs[npoly * i:npoly * (i + 1)],
+                lookup_selectors, deltas[4 * i:4 * (i + 1)],
+                lut_re_evals[i]))
 
         gamma_l = A.lift_scalar(gammas[i])
         numerator_values = []
@@ -132,6 +289,7 @@ def eval_vanishing_poly(A, common, x, l_0_x, vars: EvaluationVars,
 
     vanishing_terms = (vanishing_z_1_terms
                        + vanishing_partial_products_terms
+                       + vanishing_all_lookup_terms
                        + constraint_terms)
 
     return [reduce_with_powers(A, vanishing_terms, alphas[i])

@@ -43,6 +43,9 @@ def verify(proof_with_pis: ProofWithPublicInputs, verifier_data, common,
     zeta_pow_deg = host.ext_pow(spec, zeta, common.degree)
     l_0_zeta = vanishing.eval_l_0_host(A, common.degree, zeta, zeta_pow_deg)
 
+    deltas = challenges.get("plonk_deltas", [])
+    lut_re_evals = (vanishing.get_lut_re_evals(common, deltas)
+                    if common.num_lookup_polys else [])
     vanishing_polys_zeta = vanishing.eval_vanishing_poly(
         A, common, zeta, l_0_zeta, vars,
         [tuple(z) for z in openings.plonk_zs],
@@ -50,7 +53,10 @@ def verify(proof_with_pis: ProofWithPublicInputs, verifier_data, common,
         [tuple(x) for x in openings.partial_products],
         [tuple(s) for s in openings.plonk_sigmas],
         challenges["plonk_betas"], challenges["plonk_gammas"],
-        challenges["plonk_alphas"])
+        challenges["plonk_alphas"], deltas=deltas,
+        local_lookup_zs=[tuple(z) for z in openings.lookup_zs],
+        next_lookup_zs=[tuple(z) for z in openings.lookup_zs_next],
+        lut_re_evals=lut_re_evals)
 
     # quotient reconstruction: t(zeta) = reduce(chunk, zeta^n)
     # (reference verifier.rs:93-113)

@@ -15,5 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon plugin force-sets jax_platforms="axon,cpu" at import, IGNORING the
+# env var: processes silently race for the single TPU chip and whoever gets
+# it runs there (a 22MB+ program then OOMs the remote compile helper).  The
+# config update below is the only reliable override.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

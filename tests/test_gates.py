@@ -139,3 +139,31 @@ def test_coset_interpolation_gate_math():
     pts = [shift * x % spec.p for x in g.domain]
     expected = interpolate_ext(spec, pts, vals, zeta)
     assert eval_value == tuple(expected)
+
+
+def test_poseidon2_bb_gate():
+    from plonky2_goldibear_tpu.field.host import BABYBEAR
+    from plonky2_goldibear_tpu.gates.poseidon2_bb_gate import \
+        Poseidon2BabyBearGate
+    from plonky2_goldibear_tpu.hash import poseidon2_bb as p2
+    g = Poseidon2BabyBearGate(num_ops=1)
+    gt.test_low_degree(g, BABYBEAR)
+    gt.check_generated_witness(g, BABYBEAR,
+                               fixed={("w", 0, g.wire_swap(0)): 0})
+    # outputs equal the reference permutation
+    import random
+    rng = random.Random(3)
+    from plonky2_goldibear_tpu.gates.gate_testing import _DictWitness
+    wires = {("w", 0, g.wire_swap(0)): 1}
+    inp = [rng.randrange(BABYBEAR.p) for _ in range(16)]
+    for i, v in enumerate(inp):
+        wires[("w", 0, g.wire_input(0, i))] = v
+    w = _DictWitness(wires)
+    out = []
+    g.generators(0, [], BABYBEAR)[0].run_once(w, out)
+    got = dict(out)
+    outputs = [got[("w", 0, g.wire_output(0, i))] for i in range(16)]
+    swapped = list(inp)
+    for i in range(8):
+        swapped[i], swapped[i + 8] = swapped[i + 8], swapped[i]
+    assert outputs == p2.permute_host(swapped)
