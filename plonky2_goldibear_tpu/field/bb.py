@@ -140,8 +140,24 @@ def pow_const(a, e: int):
     return result
 
 
+# exponent bits of p-2, LSB first (scan inputs for Fermat inversion)
+_INV_BITS = np.array([(P - 2) >> i & 1 for i in range((P - 2).bit_length())],
+                     dtype=bool)
+
+
 def inv(a):
-    return pow_const(a, P - 2)
+    """Fermat inverse a^(p-2) as a lax.scan over exponent bits (compact XLA
+    graph; an unrolled multiply chain is pathological for LLVM compile
+    time)."""
+
+    def body(carry, bit):
+        result, base = carry
+        result = jnp.where(bit, mul(result, base), result)
+        return (result, sqr(base)), None
+
+    (result, _), _ = jax.lax.scan(body, (ones(a.shape), a),
+                                  jnp.asarray(_INV_BITS))
+    return result
 
 
 def cumprod(a, axis: int = -1):
@@ -157,6 +173,19 @@ def batch_sum(a, axis: int = -1):
         m = x.shape[0]
         half = m // 2
         s = add(x[:half], x[half:2 * half])
+        if m % 2:
+            s = jnp.concatenate([s, x[-1:]], axis=0)
+        x = s
+    return x[0]
+
+
+def batch_prod(a, axis: int = -1):
+    """Tree-reduce product along an axis (log-depth multiply graph)."""
+    x = jnp.moveaxis(a, axis, 0)
+    while x.shape[0] > 1:
+        m = x.shape[0]
+        half = m // 2
+        s = mul(x[:half], x[half:2 * half])
         if m % 2:
             s = jnp.concatenate([s, x[-1:]], axis=0)
         x = s

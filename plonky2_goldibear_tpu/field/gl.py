@@ -257,13 +257,29 @@ def pow_const(a: GL, e: int) -> GL:
     return result
 
 
+# exponent bits of p-2, LSB first (scan inputs for Fermat inversion)
+_INV_BITS = np.array([(P - 2) >> i & 1 for i in range((P - 2).bit_length())],
+                     dtype=bool)
+
+
 def inv(a: GL) -> GL:
-    """Fermat inverse a^(p-2).  Fully data-parallel (no scan), which on TPU
-    beats the sequential Montgomery-trick chain for large batches; inv(0) = 0
-    garbage-in convention is NOT used — callers must ensure nonzero, as the
-    reference does (division by zero is a proving error, plonky2
-    plonk/prover.rs:515)."""
-    return pow_const(a, P - 2)
+    """Fermat inverse a^(p-2), square-and-multiply as a lax.scan over the
+    exponent bits.  The scan keeps the XLA graph to one compact round body
+    (an unrolled ~100-multiply chain makes LLVM compile time superlinear);
+    runtime op count is the same data-parallel chain.  Callers must ensure
+    nonzero inputs, as the reference does (division by zero is a proving
+    error, plonky2 plonk/prover.rs:515)."""
+
+    def body(carry, bit):
+        result, base = carry
+        taken = mul(result, base)
+        result = GL(jnp.where(bit, taken.lo, result.lo),
+                    jnp.where(bit, taken.hi, result.hi))
+        return (result, sqr(base)), None
+
+    (result, _), _ = jax.lax.scan(body, (ones(a.shape), a),
+                                  jnp.asarray(_INV_BITS))
+    return result
 
 
 def batch_sum(a: GL, axis: int = -1) -> GL:
@@ -281,6 +297,23 @@ def batch_sum(a: GL, axis: int = -1) -> GL:
         a1 = GL(x.lo[:half], x.hi[:half])
         a2 = GL(x.lo[half:2 * half], x.hi[half:2 * half])
         s = add(a1, a2)
+        if m % 2:
+            s = GL(jnp.concatenate([s.lo, x.lo[-1:]], axis=0),
+                   jnp.concatenate([s.hi, x.hi[-1:]], axis=0))
+        x = s
+    return GL(x.lo[0], x.hi[0])
+
+
+def batch_prod(a: GL, axis: int = -1) -> GL:
+    """Tree-reduce product along an axis (log-depth multiply graph)."""
+    lo = jnp.moveaxis(a.lo, axis, 0)
+    hi = jnp.moveaxis(a.hi, axis, 0)
+    x = GL(lo, hi)
+    while x.lo.shape[0] > 1:
+        m = x.lo.shape[0]
+        half = m // 2
+        s = mul(GL(x.lo[:half], x.hi[:half]),
+                GL(x.lo[half:2 * half], x.hi[half:2 * half]))
         if m % 2:
             s = GL(jnp.concatenate([s.lo, x.lo[-1:]], axis=0),
                    jnp.concatenate([s.hi, x.hi[-1:]], axis=0))

@@ -70,12 +70,44 @@ def commit_values(F, values, rate_bits: int, cap_height: int,
                                      shift, hasher)
 
 
+def _salted_tree(F, lde, salt, cap_height: int, hasher):
+    salted = fftm.tconcat([lde, salt], axis=0)
+    leaves = leaves_from_lde(F, salted)
+    m = fftm.tshape(leaves)[0]
+    num_layers = host.log2_strict(m) - cap_height
+    levels = merkle.build_levels(leaves, num_layers, hasher)
+    return salted, leaves, levels
+
+
+def commit_coeffs_salted(F, coeffs, salt, rate_bits: int, cap_height: int,
+                         shift: Optional[int] = None, hasher=poseidon_gl):
+    lde = lde_values(F, coeffs, rate_bits, shift)
+    return _salted_tree(F, lde, salt, cap_height, hasher)
+
+
+def commit_values_salted(F, values, salt, rate_bits: int, cap_height: int,
+                         shift: Optional[int] = None, hasher=poseidon_gl):
+    coeffs = fftm.ifft(F, values)
+    return (coeffs,) + commit_coeffs_salted(F, coeffs, salt, rate_bits,
+                                            cap_height, shift, hasher)
+
+
+def _random_salt(F, m: int):
+    rng = np.random.default_rng()
+    return F.from_ints(rng.integers(0, F.SPEC.p, size=(SALT_SIZE, m),
+                                    dtype=np.uint64))
+
+
 # One compiled program per (field, rate, cap, shift, hasher, shapes); modules
 # are hashable so they ride along as static args.
 _commit_coeffs_jit = jax.jit(
     commit_coeffs, static_argnums=(0, 2, 3, 4, 5))
 _commit_values_jit = jax.jit(
     commit_values, static_argnums=(0, 2, 3, 4, 5))
+_commit_coeffs_salted_jit = jax.jit(
+    commit_coeffs_salted, static_argnums=(0, 3, 4, 5, 6))
+_commit_values_salted_jit = jax.jit(
+    commit_values_salted, static_argnums=(0, 3, 4, 5, 6))
 
 
 def commit_coeffs_cached(F, coeffs, rate_bits, cap_height, shift, hasher):
@@ -102,10 +134,14 @@ class PolynomialBatch:
         self.shift = F.SPEC.coset_shift if shift is None else shift
         self.hasher = hasher
         if _precomputed is None:
-            lde, leaves, levels = commit_coeffs_cached(
-                F, coeffs, rate_bits, cap_height, self.shift, hasher)
             if blinding:
-                lde, leaves, levels = self._recommit_salted(F, lde)
+                salt = _random_salt(F, fftm.tshape(coeffs)[-1] << rate_bits)
+                lde, leaves, levels = _commit_coeffs_salted_jit(
+                    F, coeffs, salt, rate_bits, cap_height, self.shift,
+                    hasher)
+            else:
+                lde, leaves, levels = commit_coeffs_cached(
+                    F, coeffs, rate_bits, cap_height, self.shift, hasher)
             self.lde = lde
         else:
             self.lde, leaves, levels = _precomputed
@@ -116,31 +152,22 @@ class PolynomialBatch:
                                       levels=levels)
         self._lde_host = None
 
-    def _recommit_salted(self, F, lde):
-        """zk salt: SALT_SIZE fully-random VALUE columns hashed into every
-        leaf (reference fri/oracle.rs:139-149 pushes random PolynomialValues
-        after the LDEs)."""
-        m = fftm.tshape(lde)[-1]
-        rng = np.random.default_rng()
-        salt_vals = rng.integers(0, F.SPEC.p, size=(SALT_SIZE, m),
-                                 dtype=np.uint64)
-        salted = fftm.tconcat([lde, F.from_ints(salt_vals)], axis=0)
-        leaves = leaves_from_lde(F, salted)
-        num_layers = host.log2_strict(m) - self.cap_height
-        levels = merkle.build_levels(leaves, num_layers, self.hasher)
-        return salted, leaves, levels
-
     @classmethod
     def from_values(cls, F, values, rate_bits: int, cap_height: int,
                     shift: Optional[int] = None, hasher=poseidon_gl,
                     roots=None, blinding: bool = False):
         """Values on the 2-adic subgroup -> IFFT -> commit, as one fused
-        jitted program (reference fri/oracle.rs:68-91)."""
+        jitted program (reference fri/oracle.rs:68-91).  With blinding, the
+        SALT_SIZE random value columns (reference fri/oracle.rs:139-149)
+        enter the same fused program as a traced argument, so the
+        compilation is randomness-independent."""
         sh = F.SPEC.coset_shift if shift is None else shift
         if blinding:
-            coeffs = fftm.ifft(F, values)
+            salt = _random_salt(F, fftm.tshape(values)[-1] << rate_bits)
+            coeffs, lde, leaves, levels = _commit_values_salted_jit(
+                F, values, salt, rate_bits, cap_height, sh, hasher)
             return cls(F, coeffs, rate_bits, cap_height, sh, hasher,
-                       blinding=True)
+                       blinding=True, _precomputed=(lde, leaves, levels))
         coeffs, lde, leaves, levels = _commit_values_jit(
             F, values, rate_bits, cap_height, sh, hasher)
         return cls(F, coeffs, rate_bits, cap_height, sh, hasher,

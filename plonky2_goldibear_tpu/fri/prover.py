@@ -241,6 +241,16 @@ def fri_proof_of_work(F, challenger, config, hasher=poseidon_gl,
     assert pos < width
 
     k = 64 - min_lz  # need response < 2^k
+    if not hasattr(hasher, "permute"):
+        # no batched device permutation (Keccak hash-onion): host grind
+        w = 0
+        while True:
+            s = list(state)
+            s[pos] = w
+            resp = hasher.permute_host(s)[rate - 1]
+            if _leading_zeros64(resp) >= min_lz:
+                return w
+            w += 1
     base_state = F.from_ints(np.array(state, dtype=np.uint64))
     grind = _grind_jit(F, hasher, width, pos, rate, k, batch)
 

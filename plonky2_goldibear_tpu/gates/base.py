@@ -267,6 +267,14 @@ def compute_filter(A, row: int, group_range, s, many_selector: bool):
             terms.append(A.sub(A.from_int(i), s))
     if many_selector:
         terms.append(A.sub(A.from_int(UNUSED_SELECTOR % A.spec.p), s))
+    if isinstance(A, DeviceBaseAlgebra) and len(terms) > 2:
+        # log-depth product (unrolled chains are pathological for XLA:CPU
+        # compile time)
+        import jax
+        import jax.numpy as jnp
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs, axis=0), *terms)
+        return A.F.batch_prod(stacked, axis=0)
     out = None
     for t in terms:
         out = t if out is None else A.mul(out, t)

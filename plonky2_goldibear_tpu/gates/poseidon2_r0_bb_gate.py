@@ -1,31 +1,32 @@
-"""Poseidon2BabyBearGate: width-16 Poseidon2 permutation(s) in one row with
-a conditional-swap flag (reference plonky2/src/gates/poseidon2_babybear.rs).
+"""Poseidon2R0BabyBearGate: width-24 risc0-Poseidon2 permutation(s) in one
+row with a conditional-swap flag (reference
+plonky2/src/gates/poseidon2_risc0_babybear.rs:38-492).
 
-Per op: 33 routed wires (16 in + 16 out + swap) and 133 non-routed witness
-wires (8 swap deltas + 16x7 full-round S-box inputs + 13 partial-round S-box
-inputs).  The BB-narrow config (167 wires) fits exactly one op.
+Per op: 49 routed wires (24 in + 24 out + swap) and 197 non-routed witness
+wires (8 swap deltas + 24x7 full-round S-box inputs + 21 partial-round S-box
+inputs).  Same wire/constraint scheme as Poseidon2BabyBearGate, with the
+risc0 round functions (HL external matrix, diagonal internal layer).
 """
 
 from __future__ import annotations
 
 from typing import List
 
-from ..field import host
-from ..hash import _poseidon2_bb_constants as C
-from ..hash import poseidon2_bb as p2
+from ..hash import _poseidon2_r0_bb_constants as C
+from ..hash import poseidon2_r0_bb as r0
 from ..iop import generator as gen
 from ..iop import target as tgt
 from .base import EvaluationVars, Gate, HostBaseAlgebra
 
-W = C.SPONGE_WIDTH            # 16
+W = C.SPONGE_WIDTH            # 24
 CAP = C.SPONGE_CAPACITY       # 8
 HALF = C.HALF_N_FULL_ROUNDS   # 4
-NP = C.N_PARTIAL_ROUNDS       # 13
+NP = C.N_PARTIAL_ROUNDS       # 21
 ROUTED_PER_OP = 2 * W + 1
 NON_ROUTED_PER_OP = CAP + W * (C.N_FULL_ROUNDS_TOTAL - 1) + NP
 
 
-class Poseidon2BabyBearGate(Gate):
+class Poseidon2R0BabyBearGate(Gate):
     def __init__(self, num_ops: int):
         self.num_ops = num_ops
 
@@ -36,7 +37,7 @@ class Poseidon2BabyBearGate(Gate):
                        config.num_routed_wires // ROUTED_PER_OP))
 
     def id(self):
-        return (f"Poseidon2BabyBearGate {{ num_ops: {self.num_ops}, "
+        return (f"Poseidon2R0BabyBearGate {{ num_ops: {self.num_ops}, "
                 f"_phantom: PhantomData<p3_baby_bear::baby_bear::BabyBear> "
                 f"}}<WIDTH={W}>")
 
@@ -108,8 +109,10 @@ class Poseidon2BabyBearGate(Gate):
                 state[i] = A.add(lw[self.wire_input(op, i)], delta)
                 state[i + CAP] = A.sub(lw[self.wire_input(op, i + CAP)],
                                        delta)
+            for i in range(2 * CAP, W):
+                state[i] = lw[self.wire_input(op, i)]
 
-            state = p2.external_layer_a(A, state)
+            state = r0.external_layer_a(A, state)
             for r in range(HALF):
                 state = [A.add_base_const(x, c)
                          for x, c in zip(state, C.EXTERNAL_CONSTANTS[r])]
@@ -118,15 +121,15 @@ class Poseidon2BabyBearGate(Gate):
                         sbox_in = lw[self.wire_full_sbox_0(op, r, i)]
                         constraints.append(A.sub(state[i], sbox_in))
                         state[i] = sbox_in
-                state = [p2.sbox_a(A, x) for x in state]
-                state = p2.external_layer_a(A, state)
+                state = [r0.sbox_a(A, x) for x in state]
+                state = r0.external_layer_a(A, state)
             for r in range(NP):
                 state[0] = A.add_base_const(state[0],
                                             C.INTERNAL_CONSTANTS[r])
                 sbox_in = lw[self.wire_partial_sbox(op, r)]
                 constraints.append(A.sub(state[0], sbox_in))
-                state[0] = p2.sbox_a(A, sbox_in)
-                state = p2.internal_layer_a(A, state)
+                state[0] = r0.sbox_a(A, sbox_in)
+                state = r0.internal_layer_a(A, state)
             for r in range(HALF, C.N_FULL_ROUNDS_TOTAL):
                 state = [A.add_base_const(x, c)
                          for x, c in zip(state, C.EXTERNAL_CONSTANTS[r])]
@@ -134,8 +137,8 @@ class Poseidon2BabyBearGate(Gate):
                     sbox_in = lw[self.wire_full_sbox_1(op, r - HALF, i)]
                     constraints.append(A.sub(state[i], sbox_in))
                     state[i] = sbox_in
-                state = [p2.sbox_a(A, x) for x in state]
-                state = p2.external_layer_a(A, state)
+                state = [r0.sbox_a(A, x) for x in state]
+                state = r0.external_layer_a(A, state)
             for i in range(W):
                 constraints.append(A.sub(state[i],
                                          lw[self.wire_output(op, i)]))
@@ -143,8 +146,7 @@ class Poseidon2BabyBearGate(Gate):
 
     def eval_unfiltered_device(self, F, stacked_wires, vars) -> List:
         """Scan/stacked formulation of eval_unfiltered for the batched
-        prover (same values, same order, compact XLA graph — unrolled
-        multiply chains are pathological for XLA:CPU compile time)."""
+        prover (same values, same order; compact XLA graph)."""
         import jax
         import jax.numpy as jnp
         import numpy as np
@@ -154,31 +156,27 @@ class Poseidon2BabyBearGate(Gate):
         def consts(vals):
             return F.from_ints(np.array(vals, dtype=np.uint64))
 
-        m4 = consts([[2, 3, 1, 1], [1, 2, 3, 1],
-                     [1, 1, 2, 3], [3, 1, 1, 2]])        # (4, 4)
-        shifts = consts([1 << s for s in C.INTERNAL_DIAG_SHIFTS])  # (15,)
-        ext_c = consts(C.EXTERNAL_CONSTANTS)             # (8, 16)
-        int_c = consts(C.INTERNAL_CONSTANTS)             # (13,)
+        # HL M4 (reference apply_hl_mat4): rows of the 4x4 matrix
+        m4 = consts([[5, 7, 1, 3], [4, 6, 1, 1],
+                     [1, 3, 5, 7], [1, 1, 4, 6]])
+        diag = consts(C.M_INT_DIAG_HZN)                  # (24,)
+        ext_c = consts(C.EXTERNAL_CONSTANTS)             # (8, 24)
+        int_c = consts(C.INTERNAL_CONSTANTS)             # (21,)
 
         def sbox(x):
             x2 = F.mul(x, x)
             return F.mul(F.mul(x2, x), F.mul(x2, x2))
 
         def external(st):
-            # st (16, m): blockwise M4 then per-class block sums
-            blocks = st.reshape(4, 4, -1)
+            blocks = st.reshape(W // 4, 4, -1)
             y = F.batch_sum(F.mul(blocks[:, None, :, :],
-                                  m4[None, :, :, None]), axis=2)  # (4,4,m)
-            sums = F.batch_sum(y, axis=0)                         # (4, m)
+                                  m4[None, :, :, None]), axis=2)
+            sums = F.batch_sum(y, axis=0)
             return F.add(y, sums[None]).reshape(W, -1)
 
         def internal(st):
-            st = F.mul_const(st, C.INTERNAL_SCALE)
-            part = F.batch_sum(st[1:], axis=0)
-            full = F.add(part, st[0])
-            head = F.sub(part, st[0])[None]
-            tail = F.add(full[None], F.mul(st[1:], shifts[:, None]))
-            return jnp.concatenate([head, tail], axis=0)
+            total = F.batch_sum(st, axis=0)
+            return F.add(total[None], F.mul(st, diag[:, None]))
 
         constraints: List = []
         one = F.ones(())
@@ -200,14 +198,14 @@ class Poseidon2BabyBearGate(Gate):
             full1_w = full1_w.reshape(HALF, W, -1)
 
             constraints.append(F.mul(swap, F.sub(swap, one)))
-            lhs, rhs = inputs[:CAP], inputs[CAP:]
+            lhs, rhs = inputs[:CAP], inputs[CAP:2 * CAP]
             delta_c = F.sub(F.mul(swap[None], F.sub(rhs, lhs)), deltas)
             constraints.extend(delta_c[i] for i in range(CAP))
 
             state = jnp.concatenate([F.add(lhs, deltas),
-                                     F.sub(rhs, deltas)], axis=0)
+                                     F.sub(rhs, deltas),
+                                     inputs[2 * CAP:]], axis=0)
             state = external(state)
-            # full round 0 (no sbox-in wires)
             state = external(sbox(F.add(state, ext_c[0][:, None])))
 
             def full_step(st, xs):
@@ -240,12 +238,11 @@ class Poseidon2BabyBearGate(Gate):
         return constraints
 
     def generators(self, row, local_constants, spec):
-        return [_Poseidon2Generator(self, row, op, spec)
+        return [_Poseidon2R0Generator(self, row, op, spec)
                 for op in range(self.num_ops)]
 
     def complete_wires(self, builder, gate_idx, slot_idx) -> bool:
-        """Route zeros into unused ops so their (retained) generators run
-        (reference poseidon2_babybear.rs:175-205)."""
+        """reference poseidon2_risc0_babybear.rs:166-197."""
         zero = builder.zero()
         completed = slot_idx < self.num_ops
         while slot_idx < self.num_ops:
@@ -258,7 +255,7 @@ class Poseidon2BabyBearGate(Gate):
         return completed
 
 
-class _Poseidon2Generator(gen.SimpleGenerator):
+class _Poseidon2R0Generator(gen.SimpleGenerator):
     def __init__(self, gate, row, op, spec):
         self.gate, self.row, self.op, self.spec = gate, row, op, spec
 
@@ -283,7 +280,7 @@ class _Poseidon2Generator(gen.SimpleGenerator):
             for i in range(CAP):
                 state[i], state[i + CAP] = state[i + CAP], state[i]
 
-        state = p2.external_layer_a(A, state)
+        state = r0.external_layer_a(A, state)
         for r in range(HALF):
             state = [A.add_base_const(x, c)
                      for x, c in zip(state, C.EXTERNAL_CONSTANTS[r])]
@@ -292,14 +289,14 @@ class _Poseidon2Generator(gen.SimpleGenerator):
                     out.append((tgt.wire(self.row,
                                          g.wire_full_sbox_0(op, r, i)),
                                 state[i]))
-            state = [p2.sbox_a(A, x) for x in state]
-            state = p2.external_layer_a(A, state)
+            state = [r0.sbox_a(A, x) for x in state]
+            state = r0.external_layer_a(A, state)
         for r in range(NP):
             state[0] = A.add_base_const(state[0], C.INTERNAL_CONSTANTS[r])
             out.append((tgt.wire(self.row, g.wire_partial_sbox(op, r)),
                         state[0]))
-            state[0] = p2.sbox_a(A, state[0])
-            state = p2.internal_layer_a(A, state)
+            state[0] = r0.sbox_a(A, state[0])
+            state = r0.internal_layer_a(A, state)
         for r in range(HALF, C.N_FULL_ROUNDS_TOTAL):
             state = [A.add_base_const(x, c)
                      for x, c in zip(state, C.EXTERNAL_CONSTANTS[r])]
@@ -307,7 +304,7 @@ class _Poseidon2Generator(gen.SimpleGenerator):
                 out.append((tgt.wire(self.row,
                                      g.wire_full_sbox_1(op, r - HALF, i)),
                             state[i]))
-            state = [p2.sbox_a(A, x) for x in state]
-            state = p2.external_layer_a(A, state)
+            state = [r0.sbox_a(A, x) for x in state]
+            state = r0.external_layer_a(A, state)
         for i in range(W):
             out.append((tgt.wire(self.row, g.wire_output(op, i)), state[i]))

@@ -55,10 +55,18 @@ class Challenger:
         for e in elements:
             self.observe_extension_element(e)
 
-    def observe_hash(self, hash_elements: Sequence[int]):
-        self.observe_elements(list(hash_elements))
+    def observe_hash(self, hash_elements):
+        if isinstance(hash_elements, (bytes, bytearray)):
+            # BytesHash digests observe as 7-byte (GL) / 3-byte (BB) LE
+            # chunks (reference hash_types.rs:259-286 GenericHashOut::to_vec)
+            chunk = 7 if self.spec.bits > 32 else 3
+            self.observe_elements(
+                [int.from_bytes(hash_elements[i:i + chunk], "little")
+                 for i in range(0, len(hash_elements), chunk)])
+        else:
+            self.observe_elements(list(hash_elements))
 
-    def observe_cap(self, cap: Sequence[Sequence[int]]):
+    def observe_cap(self, cap: Sequence):
         for h in cap:
             self.observe_hash(h)
 

@@ -68,24 +68,31 @@ class MerkleTree:
         # field module of the hasher (gl for Poseidon-GL, bb for Poseidon2)
         return getattr(self.hasher, "F", gl)
 
-    def cap_host(self) -> List[List[int]]:
+    def cap_host(self) -> List:
+        if hasattr(self.hasher, "digests_host"):
+            return self.hasher.digests_host(self.cap)
         c = self._F.to_ints(self.cap)
         return [[int(x) for x in row] for row in c]
 
-    def _levels_host(self) -> List[np.ndarray]:
+    def _levels_host(self) -> List:
         if self._host_levels is None:
-            self._host_levels = [self._F.to_ints(lv)
-                                 for lv in self.levels[:-1]]
+            if hasattr(self.hasher, "digests_host"):
+                self._host_levels = [self.hasher.digests_host(lv)
+                                     for lv in self.levels[:-1]]
+            else:
+                self._host_levels = [self._F.to_ints(lv)
+                                     for lv in self.levels[:-1]]
         return self._host_levels
 
-    def prove(self, leaf_index: int) -> List[List[int]]:
+    def prove(self, leaf_index: int) -> List:
         """Sibling digests from leaf level up to (excluding) the cap."""
         levels = self._levels_host()
         siblings = []
         idx = leaf_index
         for k in range(self.num_layers):
             sib = levels[k][idx ^ 1]
-            siblings.append([int(x) for x in sib])
+            siblings.append(sib if isinstance(sib, bytes)
+                            else [int(x) for x in sib])
             idx >>= 1
         return siblings
 
@@ -102,9 +109,13 @@ def verify_merkle_proof_to_cap(leaf_data: Sequence[int], leaf_index: int,
     current = hasher.hash_or_noop_host(list(leaf_data))
     index = leaf_index
     for sib in siblings:
+        s = sib if isinstance(sib, bytes) else list(sib)
         if index & 1:
-            current = hasher.two_to_one_host(list(sib), current)
+            current = hasher.two_to_one_host(s, current)
         else:
-            current = hasher.two_to_one_host(current, list(sib))
+            current = hasher.two_to_one_host(current, s)
         index >>= 1
-    return current == list(cap[index])
+    expected = cap[index]
+    if isinstance(current, bytes):
+        return current == bytes(expected)
+    return list(current) == list(expected)

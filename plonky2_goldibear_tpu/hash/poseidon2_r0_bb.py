@@ -1,19 +1,21 @@
-"""Poseidon2 width-16 permutation over BabyBear: host + batched device.
+"""Poseidon2-risc0-BabyBear: width-24 permutation, host + batched device.
 
-Semantics follow the reference's in-repo native evaluation exactly
-(plonky2/src/gates/poseidon2_babybear.rs:700-860 — permute_external_mut /
-permute_internal_mut / add_rc / x^7 sbox; the reference's CI pins these
-equal to its external p3_poseidon2 dependency):
+The risc0 parameterization of Poseidon2 (reference
+plonky2/src/hash/poseidon2_risc0_babybear.rs:22-230,
+gates/poseidon2_risc0_babybear.rs:678-860):
 
-- initial external linear layer, then
-- 4 full rounds (add EXTERNAL_CONSTANTS[r], sbox all, external layer),
-- 13 partial rounds (state[0] += INTERNAL_CONSTANTS[r], sbox state[0],
-  internal layer: scale all by INTERNAL_SCALE, s0 = sum(s[1:]) - s0,
-  s[i+1] = full_sum + s[i+1] * 2^shift_i),
-- 4 more full rounds with EXTERNAL_CONSTANTS[4..8].
+- external linear layer = Horizen-Labs M4 blocks ([[5,7,1,3],[4,6,1,1],
+  [1,3,5,7],[1,1,4,6]] via the add-chain in apply_hl_mat4) + the usual
+  4-class circulant sums;
+- internal (diffusion) layer = sum(state) + M_INT_DIAG_HZN[i] * state[i];
+- 2x4 full rounds around 21 partial rounds, x^7 s-box;
+- sponge: rate 16, capacity 8, digest = 8 elements; absorption overwrites
+  the full rate portion (zero-padding short chunks).
 
-External layer: blockwise 4x4 M4 then add per-congruence-class block sums.
-Digest width is 8 (BABYBEAR_NUM_HASH_OUT_ELTS, reference field/src/lib.rs:15).
+Like poseidon2_bb, every round function is written once over a generic
+algebra ``A`` so the verifier (host ext), prover (batched device), witness
+generators (host base), and recursive circuit (circuit algebra) share one
+implementation.
 """
 
 from __future__ import annotations
@@ -22,46 +24,39 @@ from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..field import bb
 from ..field.host import BABYBEAR
-from . import _poseidon2_bb_constants as C
+from . import _poseidon2_r0_bb_constants as C
 
 P = BABYBEAR.p
-WIDTH = C.SPONGE_WIDTH
-RATE = C.SPONGE_RATE
-NUM_HASH_OUT = BABYBEAR.num_hash_out_elts  # 8
-F = bb   # module attribute for generic users
+WIDTH = C.SPONGE_WIDTH          # 24
+RATE = C.SPONGE_RATE            # 16
+CAPACITY = C.SPONGE_CAPACITY    # 8
+NUM_HASH_OUT = C.SPONGE_CAPACITY   # digest = 8 elements (HashOut<F, 8>)
+F = bb
 
 tree_map = jax.tree_util.tree_map
 
 
-# --------------------------------------------------------------------------
-# Generic algebra rounds (host ints via HostBaseAlgebra, circuit targets via
-# CircuitExtAlgebra, device via bb arrays in the batched path below)
-# --------------------------------------------------------------------------
-
-
-def apply_mat4_a(A, x: List) -> List:
-    """reference gates/poseidon2_babybear.rs:903-918."""
-    t01 = A.add(x[0], x[1])
-    t23 = A.add(x[2], x[3])
-    t0123 = A.add(t01, t23)
-    t01123 = A.add(t0123, x[1])
-    t01233 = A.add(t0123, x[3])
-    x3 = A.add(t01233, A.add(x[0], x[0]))
-    x1 = A.add(t01123, A.add(x[2], x[2]))
-    x0 = A.add(t01123, t01)
-    x2 = A.add(t01233, t23)
-    return [x0, x1, x2, x3]
+def apply_hl_mat4_a(A, x: List) -> List:
+    """reference gates/poseidon2_risc0_babybear.rs:841-857."""
+    t0 = A.add(x[0], x[1])
+    t1 = A.add(x[2], x[3])
+    t2 = A.add(A.add(x[1], x[1]), t1)
+    t3 = A.add(A.add(x[3], x[3]), t0)
+    t4 = A.add(A.mul_base_const(t1, 4), t3)
+    t5 = A.add(A.mul_base_const(t0, 4), t2)
+    t6 = A.add(t3, t5)
+    t7 = A.add(t2, t4)
+    return [t6, t5, t7, t4]
 
 
 def external_layer_a(A, state: List) -> List:
-    """reference permute_external_mut (:965-995)."""
+    """reference permute_external_mut (:738-767)."""
     out = []
     for i in range(0, WIDTH, 4):
-        out.extend(apply_mat4_a(A, state[i:i + 4]))
+        out.extend(apply_hl_mat4_a(A, state[i:i + 4]))
     sums = []
     for k in range(4):
         acc = out[k]
@@ -72,17 +67,12 @@ def external_layer_a(A, state: List) -> List:
 
 
 def internal_layer_a(A, state: List) -> List:
-    """reference permute_internal_mut (:787-803)."""
-    state = [A.mul_base_const(x, C.INTERNAL_SCALE) for x in state]
-    part_sum = state[1]
-    for x in state[2:]:
-        part_sum = A.add(part_sum, x)
-    full_sum = A.add(part_sum, state[0])
-    out = [A.sub(part_sum, state[0])]
-    for i, shift in enumerate(C.INTERNAL_DIAG_SHIFTS):
-        out.append(A.add(full_sum,
-                         A.mul_base_const(state[i + 1], 1 << shift)))
-    return out
+    """reference permute_internal_mut (:731-737): sum + diag_i * x_i."""
+    total = state[0]
+    for x in state[1:]:
+        total = A.add(total, x)
+    return [A.add(total, A.mul_base_const(state[i], C.M_INT_DIAG_HZN[i]))
+            for i in range(WIDTH)]
 
 
 def sbox_a(A, x):
@@ -92,7 +82,6 @@ def sbox_a(A, x):
 
 
 def permute_a(A, state: List) -> List:
-    """Full Poseidon2 permutation over any algebra."""
     assert len(state) == WIDTH
     state = external_layer_a(A, state)
     for r in range(C.HALF_N_FULL_ROUNDS):
@@ -112,9 +101,7 @@ def permute_a(A, state: List) -> List:
     return state
 
 
-# --------------------------------------------------------------------------
-# Host (python ints)
-# --------------------------------------------------------------------------
+# -- host ---------------------------------------------------------------
 
 
 class _HostA:
@@ -140,7 +127,6 @@ class _HostA:
 
 
 def permute_host(state: Sequence[int]) -> List[int]:
-    # int() coercion matters: numpy scalars would silently overflow
     return permute_a(_HostA, [int(x) % P for x in state])
 
 
@@ -148,8 +134,10 @@ def hash_n_to_m_no_pad_host(inputs: Sequence[int], num_outputs: int
                             ) -> List[int]:
     state = [0] * WIDTH
     for i in range(0, len(inputs), RATE):
-        chunk = inputs[i:i + RATE]
-        state[: len(chunk)] = [x % P for x in chunk]
+        chunk = [x % P for x in inputs[i:i + RATE]]
+        # the R0 sponge zero-fills the rest of the rate portion
+        # (reference poseidon2_risc0_babybear.rs:205-212)
+        state[:RATE] = chunk + [0] * (RATE - len(chunk))
         state = permute_host(state)
     outputs: List[int] = []
     while True:
@@ -171,20 +159,15 @@ def hash_or_noop_host(inputs: Sequence[int]) -> List[int]:
 
 
 def two_to_one_host(x: Sequence[int], y: Sequence[int]) -> List[int]:
-    state = list(x) + list(y)
+    state = list(x) + list(y) + [0] * CAPACITY
     assert len(state) == WIDTH
-    state = permute_host(state)
-    return state[:NUM_HASH_OUT]
+    return permute_host(state)[:NUM_HASH_OUT]
 
 
-# --------------------------------------------------------------------------
-# Device (batched jnp over BabyBear Montgomery arrays)
-# --------------------------------------------------------------------------
+# -- device (batched jnp over BabyBear Montgomery arrays) ------------------
 
 
 class _DevA:
-    """Per-lane device algebra: values are bb column arrays (...,)."""
-
     add = staticmethod(bb.add)
     sub = staticmethod(bb.sub)
     mul = staticmethod(bb.mul)
@@ -198,18 +181,13 @@ class _DevA:
         return bb.add(a, bb.full((), c))
 
 
-# vectorized round functions over the last axis (..., 16) — scanned over
-# rounds so the XLA graph stays one round body deep (unrolling all 21
-# rounds makes LLVM compile time pathological on CPU hosts)
-
-_M4_ROWS = [[2, 3, 1, 1], [1, 2, 3, 1], [1, 1, 2, 3], [3, 1, 1, 2]]
+_HL_M4_ROWS = [[5, 7, 1, 3], [4, 6, 1, 1], [1, 3, 5, 7], [1, 1, 4, 6]]
 
 
 def _dev_consts():
     import numpy as np
-    return (bb.from_ints(np.array(_M4_ROWS, dtype=np.uint64)),
-            bb.from_ints(np.array([1 << s for s in C.INTERNAL_DIAG_SHIFTS],
-                                  dtype=np.uint64)),
+    return (bb.from_ints(np.array(_HL_M4_ROWS, dtype=np.uint64)),
+            bb.from_ints(np.array(C.M_INT_DIAG_HZN, dtype=np.uint64)),
             bb.from_ints(np.array(C.EXTERNAL_CONSTANTS, dtype=np.uint64)),
             bb.from_ints(np.array(C.INTERNAL_CONSTANTS, dtype=np.uint64)))
 
@@ -227,19 +205,15 @@ def _external_v(state, m4):
     return bb.add(y, sums[..., None, :]).reshape(shape)
 
 
-def _internal_v(state, shifts):
-    st = bb.mul_const(state, C.INTERNAL_SCALE)
-    part = bb.batch_sum(st[..., 1:], axis=-1)
-    full = bb.add(part, st[..., 0])
-    head = bb.sub(part, st[..., 0])
-    tail = bb.add(full[..., None], bb.mul(st[..., 1:], shifts))
-    return jnp.concatenate([head[..., None], tail], axis=-1)
+def _internal_v(state, diag):
+    total = bb.batch_sum(state, axis=-1)
+    return bb.add(total[..., None], bb.mul(state, diag))
 
 
 def permute(state):
-    """Batched permutation; state: bb array (..., 16), returns same shape.
-    Rounds run under lax.scan (compact XLA graph)."""
-    m4, shifts, ext_c, int_c = _dev_consts()
+    """Batched permutation; state: bb array (..., 24).  Rounds run under
+    lax.scan (compact XLA graph — see poseidon2_bb.permute)."""
+    m4, diag, ext_c, int_c = _dev_consts()
 
     def full_step(st, rc):
         return _external_v(_sbox_v(bb.add(st, rc)), m4), None
@@ -247,7 +221,7 @@ def permute(state):
     def partial_step(st, rc):
         s0 = _sbox_v(bb.add(st[..., 0], rc))
         st = jnp.concatenate([s0[..., None], st[..., 1:]], axis=-1)
-        return _internal_v(st, shifts), None
+        return _internal_v(st, diag), None
 
     state = _external_v(state, m4)
     state, _ = jax.lax.scan(full_step, state,
@@ -259,14 +233,16 @@ def permute(state):
 
 
 def hash_n_to_m_no_pad(inputs, num_outputs: int):
-    shape = inputs.shape
-    L = shape[-1]
-    batch = shape[:-1]
+    L = inputs.shape[-1]
+    batch = inputs.shape[:-1]
     state = bb.zeros(batch + (WIDTH,))
     for i in range(0, L, RATE):
         chunk = inputs[..., i:i + RATE]
         k = chunk.shape[-1]
-        state = jnp.concatenate([chunk, state[..., k:]], axis=-1)
+        if k < RATE:
+            chunk = jnp.concatenate(
+                [chunk, bb.zeros(batch + (RATE - k,))], axis=-1)
+        state = jnp.concatenate([chunk, state[..., RATE:]], axis=-1)
         state = permute(state)
     outs = [state[..., :RATE]]
     have = RATE
@@ -274,8 +250,8 @@ def hash_n_to_m_no_pad(inputs, num_outputs: int):
         state = permute(state)
         outs.append(state[..., :RATE])
         have += RATE
-    return jnp.concatenate(outs, axis=-1)[..., :num_outputs] \
-        if len(outs) > 1 else outs[0][..., :num_outputs]
+    out = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+    return out[..., :num_outputs]
 
 
 def hash_no_pad(inputs):
@@ -294,6 +270,6 @@ def hash_or_noop(inputs):
 
 
 def two_to_one(x, y):
-    state = jnp.concatenate([x, y], axis=-1)
-    state = permute(state)
-    return state[..., :NUM_HASH_OUT]
+    batch = x.shape[:-1]
+    state = jnp.concatenate([x, y, bb.zeros(batch + (CAPACITY,))], axis=-1)
+    return permute(state)[..., :NUM_HASH_OUT]

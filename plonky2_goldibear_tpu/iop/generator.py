@@ -98,6 +98,24 @@ class RandomValueGenerator(SimpleGenerator):
         out.append((self.target, rand_field_element(self.p)))
 
 
+class RandomRowGenerator(SimpleGenerator):
+    """One generator per blinding row (functionally = one
+    RandomValueGenerator per wire, reference circuit_builder.rs:934-944;
+    batched so zk blinding doesn't allocate wires-x-rows python objects)."""
+
+    def __init__(self, row: int, wires, p: int):
+        self.row = row
+        self.wires = list(wires)
+        self.p = p
+
+    def dependencies(self):
+        return []
+
+    def run_once(self, witness, out):
+        for w in self.wires:
+            out.append((tgt.wire(self.row, w), rand_field_element(self.p)))
+
+
 def generate_partial_witness(inputs: PartialWitness, prover_data,
                              common_data) -> PartitionWitness:
     """Round-based fixpoint scheduler (reference generator.rs:25-106)."""

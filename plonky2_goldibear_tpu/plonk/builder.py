@@ -67,14 +67,22 @@ class CircuitBuilder:
             else:
                 from ..field import bb as bb_mod
                 F = bb_mod
+        # InnerHasher = the spec's algebraic hasher (in-circuit gadgets, PI
+        # hashing); Hasher = the Merkle/transcript hasher, which may be
+        # Keccak for outermost proofs (reference config.rs:175-216)
+        if spec.name == "goldilocks":
+            inner_hasher = poseidon_gl
+        else:
+            from ..hash import poseidon2_bb
+            inner_hasher = poseidon2_bb
         if hasher is None:
-            if spec.name == "goldilocks":
-                hasher = poseidon_gl
-            else:
-                from ..hash import poseidon2_bb
-                hasher = poseidon2_bb
+            hasher = inner_hasher
         self.F = F
         self.hasher = hasher
+        self.inner_hasher = inner_hasher
+        # optional circuit-digest domain separator
+        # (reference circuit_builder.rs:1301)
+        self.domain_separator: List[int] = []
         # cyclic-recursion state (reference circuit_builder.rs:452,1332)
         self.verifier_data_public_input = None
         self.goal_common_data = None
@@ -524,10 +532,23 @@ class CircuitBuilder:
     #    hash/poseidon_goldilocks.rs permute_swapped impl) ------------------
 
     def permute_swapped(self, state: Sequence[tgt.Target],
-                        swap: tgt.Target) -> List[tgt.Target]:
+                        swap: tgt.Target,
+                        hasher=None) -> List[tgt.Target]:
         """One permutation-gate op: permute `state`, conditionally swapping
         the first two digest-size chunks (Poseidon width-12 for Goldilocks,
-        Poseidon2 width-16 for BabyBear)."""
+        Poseidon2 width-16 / risc0-Poseidon2 width-24 for BabyBear).
+        ``hasher`` selects the AlgebraicHasher; default = the config's
+        InnerHasher."""
+        hasher = hasher or self.inner_hasher
+        if getattr(hasher, "WIDTH", None) == 24:
+            from ..gates.poseidon2_r0_bb_gate import Poseidon2R0BabyBearGate
+            g = Poseidon2R0BabyBearGate.from_config(self.config)
+            row, op = self.find_slot(g, [], [])
+            self.connect(swap, tgt.wire(row, g.wire_swap(op)))
+            for i, s in enumerate(state):
+                self.connect(s, tgt.wire(row, g.wire_input(op, i)))
+            return [tgt.wire(row, g.wire_output(op, i))
+                    for i in range(len(state))]
         if self.spec.name == "goldilocks":
             from ..gates.poseidon import PoseidonGate
             g = PoseidonGate()
@@ -546,36 +567,47 @@ class CircuitBuilder:
         return [tgt.wire(row, g.wire_output(op, i))
                 for i in range(len(state))]
 
-    def permute(self, state: Sequence[tgt.Target]) -> List[tgt.Target]:
-        return self.permute_swapped(state, self.zero())
+    def permute(self, state: Sequence[tgt.Target],
+                hasher=None) -> List[tgt.Target]:
+        return self.permute_swapped(state, self.zero(), hasher)
 
     def hash_n_to_m_no_pad(self, inputs: Sequence[tgt.Target],
-                           num_outputs: int) -> List[tgt.Target]:
-        """Overwrite-mode sponge in-circuit (reference config.rs:135-166)."""
-        rate = self.hasher.RATE
-        width = self.hasher.WIDTH
+                           num_outputs: int,
+                           hasher=None) -> List[tgt.Target]:
+        """Overwrite-mode sponge in-circuit (reference config.rs:135-166);
+        ``hasher`` = any AlgebraicHasher module (default InnerHasher)."""
+        hasher = hasher or self.inner_hasher
+        rate = hasher.RATE
+        width = hasher.WIDTH
+        # the risc0 sponge zero-fills short chunks to the full rate
+        # (reference poseidon2_risc0_babybear.rs:249-254)
+        zero_pad = width == 24
         state = [self.zero()] * width
         for i in range(0, len(inputs), rate):
             chunk = list(inputs[i:i + rate])
+            if zero_pad:
+                chunk += [self.zero()] * (rate - len(chunk))
             state = chunk + state[len(chunk):]
-            state = self.permute(state)
+            state = self.permute(state, hasher)
         outputs: List[tgt.Target] = []
         while True:
             for s in state[:rate]:
                 outputs.append(s)
                 if len(outputs) == num_outputs:
                     return outputs
-            state = self.permute(state)
+            state = self.permute(state, hasher)
 
-    def hash_n_to_hash_no_pad(self, inputs: Sequence[tgt.Target]
-                              ) -> List[tgt.Target]:
-        return self.hash_n_to_m_no_pad(inputs, self.spec.num_hash_out_elts)
+    def hash_n_to_hash_no_pad(self, inputs: Sequence[tgt.Target],
+                              hasher=None) -> List[tgt.Target]:
+        return self.hash_n_to_m_no_pad(inputs, self.spec.num_hash_out_elts,
+                                       hasher)
 
-    def hash_or_noop(self, inputs: Sequence[tgt.Target]) -> List[tgt.Target]:
+    def hash_or_noop(self, inputs: Sequence[tgt.Target],
+                     hasher=None) -> List[tgt.Target]:
         n = self.spec.num_hash_out_elts
         if len(inputs) <= n:
             return list(inputs) + [self.zero()] * (n - len(inputs))
-        return self.hash_n_to_hash_no_pad(inputs)
+        return self.hash_n_to_hash_no_pad(inputs, hasher)
 
     # -- build (reference circuit_builder.rs:1110-1360) -----------------------
 
@@ -697,10 +729,13 @@ class CircuitBuilder:
         num_partial_products = (
             -(-config.num_routed_wires // quotient_degree_factor) - 1)
 
-        # circuit digest (reference circuit_builder.rs:1300-1320)
+        # circuit digest (reference circuit_builder.rs:1300-1320); byte
+        # digests (Keccak) flatten to field elements via GenericHashOut
+        # semantics before re-hashing
         cap_flat = [x for row in constants_sigmas_commitment.cap_host()
-                    for x in row]
-        domain_sep_digest = self._hash_pad([])
+                    for x in self._digest_elements(row)]
+        domain_sep_digest = self._digest_elements(
+            self._hash_pad(self.domain_separator))
         circuit_digest = self.hasher.hash_no_pad_host(
             cap_flat + domain_sep_digest + [degree_bits])
 
@@ -749,7 +784,8 @@ class CircuitBuilder:
 
         return CircuitData(common=common, prover_only=prover_only,
                            verifier_only=verifier_only, F=self.F,
-                           hasher=self.hasher)
+                           hasher=self.hasher,
+                           inner_hasher=self.inner_hasher)
 
     def _num_blinding_gates(self, degree_estimate: int):
         """reference circuit_builder.rs:873-898."""
@@ -786,17 +822,25 @@ class CircuitBuilder:
         p = self.spec.p
         for _ in range(regular):
             row = self.add_gate(NoopGate(), [])
-            for w in range(self.config.num_wires):
-                self.add_simple_generator(
-                    gen.RandomValueGenerator(tgt.wire(row, w), p))
+            self.add_simple_generator(gen.RandomRowGenerator(
+                row, range(self.config.num_wires), p))
         for _ in range(z_openings):
             row1 = self.add_gate(NoopGate(), [])
             row2 = self.add_gate(NoopGate(), [])
+            self.add_simple_generator(gen.RandomRowGenerator(
+                row1, range(self.config.num_routed_wires), p))
             for w in range(self.config.num_routed_wires):
-                self.add_simple_generator(
-                    gen.RandomValueGenerator(tgt.wire(row1, w), p))
                 self.generate_copy(tgt.wire(row1, w), tgt.wire(row2, w))
                 self.connect(tgt.wire(row1, w), tgt.wire(row2, w))
+
+    def _digest_elements(self, digest) -> List[int]:
+        """Digest -> field elements (bytes digests chunk per
+        hash_types.rs:268-284; algebraic digests are already elements)."""
+        if isinstance(digest, (bytes, bytearray)):
+            chunk = 7 if self.spec.bits > 32 else 3
+            return [int.from_bytes(digest[i:i + chunk], "little")
+                    for i in range(0, len(digest), chunk)]
+        return list(digest)
 
     def _hash_pad(self, inputs: List[int]) -> List[int]:
         """pad10*1 then hash (reference plonk/config.rs:58-66)."""

@@ -188,23 +188,25 @@ class CircuitData:
     prover_only: ProverOnlyCircuitData
     verifier_only: VerifierOnlyCircuitData
     F: object = None        # device field module (field.gl / field.bb)
-    hasher: object = None   # hash module (poseidon_gl / poseidon2_bb)
+    hasher: object = None   # Merkle/transcript hash module (C::Hasher)
+    inner_hasher: object = None   # algebraic hash module (C::InnerHasher)
 
     def _defaults(self):
         if self.F is None:
             from ..field import gl
             from ..hash import poseidon_gl
-            return gl, poseidon_gl
-        return self.F, self.hasher
+            return gl, poseidon_gl, poseidon_gl
+        return self.F, self.hasher, self.inner_hasher or self.hasher
 
-    def prove(self, inputs, seed: Optional[int] = None):
+    def prove(self, inputs, seed: Optional[int] = None, timing=None):
         from . import prover
-        F, hasher = self._defaults()
+        F, hasher, inner_hasher = self._defaults()
         return prover.prove(self.prover_only, self.common, inputs,
-                            F=F, hasher=hasher)
+                            F=F, hasher=hasher, inner_hasher=inner_hasher,
+                            timing=timing)
 
     def verify(self, proof_with_pis) -> None:
         from . import verifier
-        _, hasher = self._defaults()
+        _, hasher, inner_hasher = self._defaults()
         verifier.verify(proof_with_pis, self.verifier_only, self.common,
-                        hasher=hasher)
+                        hasher=hasher, inner_hasher=inner_hasher)

@@ -28,6 +28,7 @@ from ..hash import poseidon_gl
 from ..hash.challenger import Challenger
 from ..iop.generator import generate_partial_witness, rand_field_element
 from ..iop.witness import PartialWitness
+from ..utils.timing import StatisticsItem, timed
 from . import vanishing
 from .proof import OpeningSet, Proof, ProofWithPublicInputs
 
@@ -42,22 +43,32 @@ MAX_PERM_ARG_RETRIES = 3
 
 
 def prove(prover_data, common, inputs: PartialWitness,
-          F=gl_mod, hasher=poseidon_gl) -> ProofWithPublicInputs:
-    """reference prover.rs:136-230 (incl. the anti-#456 retry loop)."""
-    partition_witness = generate_partial_witness(inputs, prover_data, common)
-    set_lookup_wires(prover_data, common, partition_witness)
-    public_inputs = partition_witness.get_targets(prover_data.public_inputs)
-    witness = partition_witness.full_witness()
+          F=gl_mod, hasher=poseidon_gl, inner_hasher=None,
+          timing=None) -> ProofWithPublicInputs:
+    """reference prover.rs:136-230 (incl. the anti-#456 retry loop).
+
+    ``timing`` is an optional ``utils.timing.ProvingProcessInfo``; phases
+    push scopes into it (reference util/proving_process_info.rs)."""
+    with timed(timing, "run witness generators"):
+        partition_witness = generate_partial_witness(inputs, prover_data,
+                                                     common)
+        set_lookup_wires(prover_data, common, partition_witness)
+        public_inputs = partition_witness.get_targets(
+            prover_data.public_inputs)
+        witness = partition_witness.full_witness()
 
     for retry_idx in range(MAX_PERM_ARG_RETRIES):
         if retry_idx > 0:
             assert prover_data.random_wire is not None, \
                 "perm-arg failure with no random wire"
+            if timing is not None:
+                timing.incr(StatisticsItem.PERM_ARG_RETRIES)
             row, col = prover_data.random_wire
             witness[col, row] = rand_field_element(common.spec.p)
         try:
             return _internal_prove(prover_data, common, witness,
-                                   public_inputs, F, hasher)
+                                   public_inputs, F, hasher,
+                                   inner_hasher or hasher, timing)
         except InvZeroPermArg:
             continue
     raise InvZeroPermArg("too many permutation argument failures")
@@ -230,127 +241,142 @@ class ProverKernels:
         # one-time per circuit; Fermat inverse on device
         self.l_0 = F.mul(zh, F.inv(F.mul_const(x_minus_1, n % p)))
 
-        self.pp_fn = jax.jit(self._partial_products)
-        self.quotient_fn = jax.jit(self._quotient)
+        # Circuit-static device data enters the jitted programs as ARGUMENTS
+        # (not closure constants), so the persistent compile cache hits
+        # across circuits with the same shapes/gate sets.
+        self.pp_fn = lambda routed, betas, gammas: _pp_jit(
+            F, common.quotient_degree_factor, common.num_partial_products,
+            common.config.num_routed_wires, common.config.num_challenges,
+            routed, betas, gammas, self.s_id, self.sigmas_dev)
+        self.quotient_fn = (
+            lambda cs, wires, zs_pp, pi, betas, gammas, alphas, deltas,
+            lut_re: _quotient_jit(
+                F, common, cs, wires, zs_pp, pi, betas, gammas, alphas,
+                deltas, lut_re, self.shifted_xs, self.l_0, self.zh_inv,
+                self.step, self.next_step, self.m))
 
-    # ---- partial products (reference prover.rs:449-546, device scans) ------
 
-    def _partial_products(self, routed, betas_arr, gammas_arr):
-        F = self.F
-        common = self.common
-        qdf = common.quotient_degree_factor
-        num_prods = common.num_partial_products
-        num_routed = common.config.num_routed_wires
-        num_challenges = common.config.num_challenges
+from functools import partial as _partial
 
-        zs, pps = [], []
-        any_zero = jnp.zeros((), bool)
-        for i in range(num_challenges):
-            beta = tree_map(lambda a: a[i], betas_arr)
-            gamma = tree_map(lambda a: a[i], gammas_arr)
-            numer = F.add(F.add(routed, F.mul(self.s_id, beta)), gamma)
-            denom = F.add(F.add(routed, F.mul(self.sigmas_dev, beta)), gamma)
-            any_zero = any_zero | F.is_zero(denom).any()
-            quot = F.mul(numer, F.inv(denom))
-            chunk_prods = []
-            idx = 0
-            while idx < num_routed:
-                hi = min(idx + qdf, num_routed)
-                prod = None
-                for j in range(idx, hi):
-                    row = tree_map(lambda a: a[j], quot)
-                    prod = row if prod is None else F.mul(prod, row)
-                chunk_prods.append(prod)
-                idx = hi
-            row_prod = None
-            for c in chunk_prods:
-                row_prod = c if row_prod is None else F.mul(row_prod, c)
-            incl = F.cumprod(row_prod, axis=-1)
-            z = fftm.tconcat([F.ones((1,)),
-                              tree_map(lambda a: a[..., :-1], incl)],
-                             axis=-1)
-            zs.append(z)
-            run = z
-            accs = []
-            for k in range(num_prods):
-                run = F.mul(run, chunk_prods[k])
-                accs.append(run)
-            pps.extend(accs)
-        batch = tree_map(lambda *rows: jnp.stack(rows, axis=0), *(zs + pps))
-        return batch, any_zero
 
-    # ---- quotient (reference prover.rs:690-926) -----------------------------
+@_partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _pp_jit(F, qdf, num_prods, num_routed, num_challenges, routed,
+            betas_arr, gammas_arr, s_id, sigmas_dev):
+    """Partial products / Z columns (reference prover.rs:449-546).
+    Circuit-static data (s_id, sigmas) are traced inputs so one compilation
+    serves every circuit with matching shapes.  All reductions are tree/scan
+    shaped (log-depth graphs): unrolled multiply chains make LLVM compile
+    time superlinear on XLA:CPU."""
+    n = fftm.tshape(routed)[-1]
+    nchunks = -(-num_routed // qdf)
+    zs, pps = [], []
+    any_zero = jnp.zeros((), bool)
+    for i in range(num_challenges):
+        beta = tree_map(lambda a: a[i], betas_arr)
+        gamma = tree_map(lambda a: a[i], gammas_arr)
+        numer = F.add(F.add(routed, F.mul(s_id, beta)), gamma)
+        denom = F.add(F.add(routed, F.mul(sigmas_dev, beta)), gamma)
+        any_zero = any_zero | F.is_zero(denom).any()
+        quot = F.mul(numer, F.inv(denom))
+        pad = nchunks * qdf - num_routed
+        if pad:
+            quot = fftm.tconcat([quot, F.ones((pad, n))], axis=0)
+        chunked = tree_map(lambda a: a.reshape(nchunks, qdf, n), quot)
+        chunk_prods = F.batch_prod(chunked, axis=1)       # (nchunks, n)
+        row_prod = F.batch_prod(chunk_prods, axis=0)      # (n,)
+        incl = F.cumprod(row_prod, axis=-1)
+        z = fftm.tconcat([F.ones((1,)),
+                          tree_map(lambda a: a[..., :-1], incl)], axis=-1)
+        zs.append(tree_map(lambda a: a[None, :], z))
+        # partial products: acc_k = z * prod_{j<=k} chunk_prods[j]
+        running = F.cumprod(chunk_prods, axis=0)
+        accs = F.mul(tree_map(lambda a: a[:num_prods], running),
+                     tree_map(lambda a: a[None, :], z))
+        pps.append(accs)
+    batch = fftm.tconcat(zs + pps, axis=0)
+    return batch, any_zero
 
-    def _quotient(self, cs_lde, wires_lde, zs_pp_lde, pi_hash_arr,
-                  betas_arr, gammas_arr, alphas_arr, deltas_arr,
-                  lut_re_arr):
-        F = self.F
-        common = self.common
-        config = common.config
-        qdf = common.quotient_degree_factor
-        n = common.degree
 
-        def strided(lde):
-            return tree_map(lambda a: a[:, ::self.step], lde)
+def _quotient_body(F, common, cs_lde, wires_lde, zs_pp_lde, pi_hash_arr,
+                   betas_arr, gammas_arr, alphas_arr, deltas_arr,
+                   lut_re_arr, shifted_xs, l_0, zh_inv, step, next_step, m):
+    """Whole-domain vanishing evaluation + quotient split
+    (reference prover.rs:690-926)."""
+    config = common.config
+    qdf = common.quotient_degree_factor
+    n = common.degree
 
-        cs = strided(cs_lde)
-        wires = strided(wires_lde)
-        zs_pp = strided(zs_pp_lde)
-        zs_pp_next = tree_map(lambda a: jnp.roll(a, -self.next_step, axis=-1),
-                              zs_pp)
+    def strided(lde):
+        return tree_map(lambda a: a[:, ::step], lde)
 
-        def rows(batch, lo, hi):
-            return [tree_map(lambda a, j=j: a[j], batch)
-                    for j in range(lo, hi)]
+    cs = strided(cs_lde)
+    wires = strided(wires_lde)
+    zs_pp = strided(zs_pp_lde)
+    zs_pp_next = tree_map(lambda a: jnp.roll(a, -next_step, axis=-1), zs_pp)
 
-        c0, c1 = common.constants_range()
-        s0, s1 = common.sigmas_range()
-        z0, z1 = common.zs_range()
-        pp0, pp1 = common.partial_products_range()
+    def rows(batch, lo, hi):
+        return [tree_map(lambda a, j=j: a[j], batch) for j in range(lo, hi)]
 
-        A = DeviceBaseAlgebra(F, self.m)
-        nch = config.num_challenges
-        vars = EvaluationVars(
-            rows(cs, c0, c1), rows(wires, 0, config.num_wires),
-            [tree_map(lambda a, i=i: a[i], pi_hash_arr)
-             for i in range(common.spec.num_hash_out_elts)])
-        vars.stacked_wires = wires   # device fast path for scan-based gates
-        betas = [tree_map(lambda a, i=i: a[i], betas_arr) for i in range(nch)]
-        gammas = [tree_map(lambda a, i=i: a[i], gammas_arr)
-                  for i in range(nch)]
-        alphas = [tree_map(lambda a, i=i: a[i], alphas_arr)
-                  for i in range(nch)]
-        has_lookup = common.num_lookup_polys != 0
-        deltas = []
-        lut_re = []
-        local_lk = []
-        next_lk = []
-        if has_lookup:
-            deltas = [tree_map(lambda a, i=i: a[i], deltas_arr)
-                      for i in range(4 * nch)]
-            nluts = len(common.luts)
-            lut_re = [[tree_map(lambda a, k=k: a[i * nluts + k], lut_re_arr)
-                       for k in range(nluts)] for i in range(nch)]
-            lk0 = common.num_zs_partial_products_polys()
-            lk1 = lk0 + common.num_all_lookup_polys()
-            local_lk = rows(zs_pp, lk0, lk1)
-            next_lk = rows(zs_pp_next, lk0, lk1)
+    c0, c1 = common.constants_range()
+    s0, s1 = common.sigmas_range()
+    z0, z1 = common.zs_range()
+    pp0, pp1 = common.partial_products_range()
 
-        vanishing_values = vanishing.eval_vanishing_poly(
-            A, common, self.shifted_xs, self.l_0, vars,
-            rows(zs_pp, z0, z1), rows(zs_pp_next, z0, z1),
-            rows(zs_pp, pp0, pp1), rows(cs, s0, s1), betas, gammas, alphas,
-            deltas=deltas, local_lookup_zs=local_lk, next_lookup_zs=next_lk,
-            lut_re_evals=lut_re)
+    A = DeviceBaseAlgebra(F, m)
+    nch = config.num_challenges
+    vars = EvaluationVars(
+        rows(cs, c0, c1), rows(wires, 0, config.num_wires),
+        [tree_map(lambda a, i=i: a[i], pi_hash_arr)
+         for i in range(common.spec.num_hash_out_elts)])
+    vars.stacked_wires = wires
+    betas = [tree_map(lambda a, i=i: a[i], betas_arr) for i in range(nch)]
+    gammas = [tree_map(lambda a, i=i: a[i], gammas_arr) for i in range(nch)]
+    alphas = [tree_map(lambda a, i=i: a[i], alphas_arr) for i in range(nch)]
+    has_lookup = common.num_lookup_polys != 0
+    deltas = []
+    lut_re = []
+    local_lk = []
+    next_lk = []
+    if has_lookup:
+        deltas = [tree_map(lambda a, i=i: a[i], deltas_arr)
+                  for i in range(4 * nch)]
+        nluts = len(common.luts)
+        lut_re = [[tree_map(lambda a, k=k, i=i: a[i * nluts + k], lut_re_arr)
+                   for k in range(nluts)] for i in range(nch)]
+        lk0 = common.num_zs_partial_products_polys()
+        lk1 = lk0 + common.num_all_lookup_polys()
+        local_lk = rows(zs_pp, lk0, lk1)
+        next_lk = rows(zs_pp_next, lk0, lk1)
 
-        chunks = []
-        for v in vanishing_values:
-            q_values = F.mul(v, self.zh_inv)
-            q_coeffs = fftm.coset_ifft(F, q_values, common.spec.coset_shift)
-            qd = common.quotient_degree
-            q_coeffs = tree_map(lambda a: a[:qd], q_coeffs)
-            chunks.append(tree_map(lambda a: a.reshape(qdf, n), q_coeffs))
-        return tree_map(lambda *cs_: jnp.concatenate(cs_, axis=0), *chunks)
+    vanishing_values = vanishing.eval_vanishing_poly(
+        A, common, shifted_xs, l_0, vars,
+        rows(zs_pp, z0, z1), rows(zs_pp_next, z0, z1),
+        rows(zs_pp, pp0, pp1), rows(cs, s0, s1), betas, gammas, alphas,
+        deltas=deltas, local_lookup_zs=local_lk, next_lookup_zs=next_lk,
+        lut_re_evals=lut_re)
+
+    chunks = []
+    for v in vanishing_values:
+        q_values = F.mul(v, zh_inv)
+        q_coeffs = fftm.coset_ifft(F, q_values, common.spec.coset_shift)
+        qd = common.quotient_degree
+        q_coeffs = tree_map(lambda a: a[:qd], q_coeffs)
+        chunks.append(tree_map(lambda a: a.reshape(qdf, n), q_coeffs))
+    return tree_map(lambda *cs_: jnp.concatenate(cs_, axis=0), *chunks)
+
+
+# common is unhashable per-instance; cache jitted programs per common id
+_QUOTIENT_JITS = {}
+
+
+def _quotient_jit(F, common, *args):
+    key = id(common)
+    fn = _QUOTIENT_JITS.get(key)
+    if fn is None:
+        fn = jax.jit(_partial(_quotient_body, F, common),
+                     static_argnums=(12, 13, 14))
+        _QUOTIENT_JITS[key] = fn
+    return fn(*args)
 
 
 def _kernels(prover_data, common, F, hasher) -> ProverKernels:
@@ -362,7 +388,8 @@ def _kernels(prover_data, common, F, hasher) -> ProverKernels:
 
 
 def _internal_prove(prover_data, common, witness: np.ndarray,
-                    public_inputs: List[int], F, hasher
+                    public_inputs: List[int], F, hasher,
+                    inner_hasher=None, timing=None
                     ) -> ProofWithPublicInputs:
     spec = common.spec
     config = common.config
@@ -372,12 +399,17 @@ def _internal_prove(prover_data, common, witness: np.ndarray,
     degree = common.degree
 
     kern = _kernels(prover_data, common, F, hasher)
-    public_inputs_hash = hasher.hash_no_pad_host(public_inputs)
+    # PI hash is always the algebraic InnerHasher (reference prover.rs:244)
+    public_inputs_hash = (inner_hasher or hasher).hash_no_pad_host(
+        public_inputs)
 
     zk = config.zero_knowledge   # oracle blinding flags, plonk_common.rs:24-40
-    wires_values = F.from_ints(witness)   # (num_wires, degree)
-    wires_commitment = PolynomialBatch.from_values(
-        F, wires_values, rate_bits, cap_height, hasher=hasher, blinding=zk)
+    with timed(timing, "compute wire polynomials + commit"):
+        wires_values = F.from_ints(witness)   # (num_wires, degree)
+        wires_commitment = PolynomialBatch.from_values(
+            F, wires_values, rate_bits, cap_height, hasher=hasher,
+            blinding=zk)
+        wires_commitment.cap_host()   # blocking read = phase boundary
 
     challenger = Challenger(spec=spec, permute=hasher.permute_host,
                             width=hasher.WIDTH, rate=hasher.RATE)
@@ -401,11 +433,13 @@ def _internal_prove(prover_data, common, witness: np.ndarray,
                                        dtype=np.uint64, count=max(len(vals),
                                                                   0)))
 
-    routed = tree_map(lambda a: a[:config.num_routed_wires], wires_values)
-    zs_partial_products, any_zero = kern.pp_fn(routed, to_arr(betas),
-                                               to_arr(gammas))
-    if bool(jax.device_get(any_zero)):
-        raise InvZeroPermArg()
+    with timed(timing, "compute partial products"):
+        routed = tree_map(lambda a: a[:config.num_routed_wires],
+                          wires_values)
+        zs_partial_products, any_zero = kern.pp_fn(routed, to_arr(betas),
+                                                   to_arr(gammas))
+        if bool(jax.device_get(any_zero)):
+            raise InvZeroPermArg()
 
     lut_re_evals = []
     if has_lookup:
@@ -420,24 +454,27 @@ def _internal_prove(prover_data, common, witness: np.ndarray,
             zs_partial_products, lookup_arr)
         lut_re_evals = vanishing.get_lut_re_evals(common, deltas)
 
-    zs_pp_commitment = PolynomialBatch.from_values(
-        F, zs_partial_products, rate_bits, cap_height, hasher=hasher,
-        blinding=zk)
-    challenger.observe_cap(zs_pp_commitment.cap_host())
+    with timed(timing, "commit to partial products and Z's"):
+        zs_pp_commitment = PolynomialBatch.from_values(
+            F, zs_partial_products, rate_bits, cap_height, hasher=hasher,
+            blinding=zk)
+        challenger.observe_cap(zs_pp_commitment.cap_host())
 
     alphas = challenger.get_n_challenges(num_challenges)
 
     flat_lut_re = [v for evs in lut_re_evals for v in evs]
-    quotient_chunks = kern.quotient_fn(
-        prover_data.constants_sigmas_commitment.lde, wires_commitment.lde,
-        zs_pp_commitment.lde, to_arr(public_inputs_hash), to_arr(betas),
-        to_arr(gammas), to_arr(alphas), to_arr(deltas),
-        to_arr(flat_lut_re))
+    with timed(timing, "compute quotient polys"):
+        quotient_chunks = kern.quotient_fn(
+            prover_data.constants_sigmas_commitment.lde,
+            wires_commitment.lde, zs_pp_commitment.lde,
+            to_arr(public_inputs_hash), to_arr(betas), to_arr(gammas),
+            to_arr(alphas), to_arr(deltas), to_arr(flat_lut_re))
 
-    quotient_commitment = PolynomialBatch(
-        F, quotient_chunks, rate_bits, cap_height, hasher=hasher,
-        blinding=zk)
-    challenger.observe_cap(quotient_commitment.cap_host())
+    with timed(timing, "commit to quotient polys"):
+        quotient_commitment = PolynomialBatch(
+            F, quotient_chunks, rate_bits, cap_height, hasher=hasher,
+            blinding=zk)
+        challenger.observe_cap(quotient_commitment.cap_host())
 
     zeta = challenger.get_extension_challenge()
     zeta_pow_n = host.ext_pow(spec, zeta, degree)
@@ -446,8 +483,9 @@ def _internal_prove(prover_data, common, witness: np.ndarray,
     oracles = [prover_data.constants_sigmas_commitment, wires_commitment,
                zs_pp_commitment, quotient_commitment]
 
-    openings = _opening_set(F, common, zeta, oracles)
-    fri_openings = openings.to_fri_openings()
+    with timed(timing, "construct the opening set"):
+        openings = _opening_set(F, common, zeta, oracles)
+        fri_openings = openings.to_fri_openings()
     for batch_vals in fri_openings:
         challenger.observe_extension_elements(batch_vals)
 
@@ -455,8 +493,9 @@ def _internal_prove(prover_data, common, witness: np.ndarray,
     for batch, vals in zip(instance.batches, fri_openings):
         batch.values = vals
 
-    opening_proof = fri_prover.prove_openings(
-        F, instance, oracles, challenger, common.fri_params, hasher)
+    with timed(timing, "compute opening proofs"):
+        opening_proof = fri_prover.prove_openings(
+            F, instance, oracles, challenger, common.fri_params, hasher)
 
     proof = Proof(
         wires_cap=wires_commitment.cap_host(),

@@ -49,6 +49,9 @@ class Buffer:
         assert v in (0, 1)
         return v == 1
 
+    def read_u16(self) -> int:
+        return struct.unpack("<H", self.read_exact(2))[0]
+
     def read_u32(self) -> int:
         return struct.unpack("<I", self.read_exact(4))[0]
 
@@ -160,7 +163,8 @@ def read_selectors_info(buf: Buffer) -> SelectorsInfo:
 #    reference gate_serialization.rs:143-166) --------------------------------
 
 
-def _read_gate(buf: Buffer, spec: host.FieldSpec, config: CircuitConfig):
+def _read_gate(buf: Buffer, spec: host.FieldSpec, config: CircuitConfig,
+               luts=()):
     tag = buf.read_u32()
     D = spec.ext_degree
     nho = spec.num_hash_out_elts
@@ -181,8 +185,23 @@ def _read_gate(buf: Buffer, spec: host.FieldSpec, config: CircuitConfig):
                                                       weights, spec)
     if tag == 5:
         return ExponentiationGate(buf.read_usize())
-    if tag in (6, 7):
-        raise NotImplementedError("lookup gates: later round")
+    if tag == 6:
+        from ..gates.lookup_gates import LookupGate
+        num_slots = buf.read_usize()
+        lut_index = buf.read_usize()
+        h = buf.read_exact(32)
+        g = LookupGate(num_slots, luts[lut_index])
+        assert g.lut_hash == h, "lookup table hash mismatch"
+        return g
+    if tag == 7:
+        from ..gates.lookup_gates import LookupTableGate
+        num_slots = buf.read_usize()
+        last_lut_row = buf.read_usize()
+        lut_index = buf.read_usize()
+        h = buf.read_exact(32)
+        g = LookupTableGate(num_slots, luts[lut_index], last_lut_row)
+        assert g.lut_hash == h, "lookup table hash mismatch"
+        return g
     if tag == 8:
         return MulExtensionGate(buf.read_usize(), D)
     if tag == 9:
@@ -202,7 +221,21 @@ def _read_gate(buf: Buffer, spec: host.FieldSpec, config: CircuitConfig):
         return ReducingExtensionGate(buf.read_usize(), D)
     if tag == 15:
         return ReducingGate(buf.read_usize(), D)
-    raise NotImplementedError(f"gate tag {tag}: later round")
+    if tag == 16:
+        from ..gates.poseidon2_bb_gate import Poseidon2BabyBearGate
+        return Poseidon2BabyBearGate.from_config(config)
+    if tag == 17:
+        from ..gates.misc_gates import AddManyGate
+        num_addends = buf.read_usize()
+        num_ops = buf.read_usize()
+        return AddManyGate(num_addends, num_ops)
+    if tag == 18:
+        from ..gates.misc_gates import ApplyMat4Gate
+        return ApplyMat4Gate(buf.read_usize(), D)
+    if tag == 19:
+        from ..gates.misc_gates import Poseidon2InternalPermutationGate
+        return Poseidon2InternalPermutationGate(D)
+    raise NotImplementedError(f"unknown gate tag {tag}")
 
 
 # -- top-level structures -----------------------------------------------------
@@ -226,9 +259,13 @@ def read_common_circuit_data(data: bytes,
     num_lookup_polys = buf.read_usize()
     num_lookup_selectors = buf.read_usize()
     num_luts = buf.read_usize()
-    assert num_luts == 0, "LUT deserialization: later round"
+    luts = []
+    for _ in range(num_luts):
+        n_pairs = buf.read_usize()
+        luts.append(tuple((buf.read_u16(), buf.read_u16())
+                          for _ in range(n_pairs)))
     num_gates = buf.read_usize()
-    gates = [_read_gate(buf, spec, config) for _ in range(num_gates)]
+    gates = [_read_gate(buf, spec, config, luts) for _ in range(num_gates)]
     assert buf.pos == len(data), (buf.pos, len(data))
     return CommonCircuitData(
         config=config, spec=spec, fri_params=fri_params, gates=gates,
@@ -424,7 +461,7 @@ def _write_fri_params(w: Writer, p: FriParams):
     w.write_bool(p.hiding)
 
 
-def _write_gate(w: Writer, gate, spec):
+def _write_gate(w: Writer, gate, spec, luts=()):
     if isinstance(gate, ArithmeticGate):
         w.write_u32(0)
         w.write_usize(gate.num_ops)
@@ -470,7 +507,34 @@ def _write_gate(w: Writer, gate, spec):
         w.write_u32(15)
         w.write_usize(gate.num_coeffs)
     else:
-        raise NotImplementedError(type(gate))
+        from ..gates.lookup_gates import LookupGate, LookupTableGate
+        from ..gates.misc_gates import (AddManyGate, ApplyMat4Gate,
+                                        Poseidon2InternalPermutationGate)
+        from ..gates.poseidon2_bb_gate import Poseidon2BabyBearGate
+        if isinstance(gate, LookupGate):
+            w.write_u32(6)
+            w.write_usize(gate.num_slots)
+            w.write_usize(luts.index(gate.lut))
+            w.out += gate.lut_hash
+        elif isinstance(gate, LookupTableGate):
+            w.write_u32(7)
+            w.write_usize(gate.num_slots)
+            w.write_usize(gate.last_lut_row)
+            w.write_usize(luts.index(gate.lut))
+            w.out += gate.lut_hash
+        elif isinstance(gate, Poseidon2BabyBearGate):
+            w.write_u32(16)
+        elif isinstance(gate, AddManyGate):
+            w.write_u32(17)
+            w.write_usize(gate.num_addends)
+            w.write_usize(gate.num_ops)
+        elif isinstance(gate, ApplyMat4Gate):
+            w.write_u32(18)
+            w.write_usize(gate.num_ops)
+        elif isinstance(gate, Poseidon2InternalPermutationGate):
+            w.write_u32(19)
+        else:
+            raise NotImplementedError(type(gate))
 
 
 def write_common_circuit_data(common: CommonCircuitData) -> bytes:
@@ -492,10 +556,13 @@ def write_common_circuit_data(common: CommonCircuitData) -> bytes:
     w.write_usize(common.num_lookup_polys)
     w.write_usize(common.num_lookup_selectors)
     w.write_usize(len(common.luts))
-    assert not common.luts, "LUT serialization: later round"
+    for lut in common.luts:
+        w.write_usize(len(lut))
+        for a, bb_ in lut:
+            w.out += struct.pack("<H", a) + struct.pack("<H", bb_)
     w.write_usize(len(common.gates))
     for g in common.gates:
-        _write_gate(w, g, common.spec)
+        _write_gate(w, g, common.spec, list(common.luts))
     return bytes(w.out)
 
 

@@ -13,8 +13,70 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
+import jax
+import jax.numpy as jnp
+
 from ..gates.base import (DeviceBaseAlgebra, EvaluationVars, compute_filter,
                           eval_filtered)
+
+tree_map = jax.tree_util.tree_map
+
+
+def _stack_rows(terms: Sequence):
+    """Stack a list of same-shaped field values into one leading axis."""
+    return tree_map(lambda *xs: jnp.stack(xs, axis=0), *terms)
+
+
+def _row(batch, k: int):
+    return tree_map(lambda a: a[k], batch)
+
+
+def _tree_prod(A, terms: Sequence):
+    """Product of a list of algebra values; log-depth on device."""
+    terms = list(terms)
+    if not terms:
+        return A.one()
+    if isinstance(A, DeviceBaseAlgebra) and len(terms) > 2:
+        return A.F.batch_prod(_stack_rows(terms), axis=0)
+    acc = None
+    for t in terms:
+        acc = t if acc is None else A.mul(acc, t)
+    return acc
+
+
+def _leave_one_out_sum(A, terms: Sequence, weights: Sequence = None):
+    """sum_i w_i * prod_{j != i} terms[j] (w_i = 1 when weights is None).
+
+    Device path: exclusive prefix x exclusive suffix cumprods — two scans
+    instead of an O(k^2) unrolled multiply graph; exact same field values
+    (no division tricks, so zero factors are handled correctly)."""
+    terms = list(terms)
+    if not terms:
+        return A.zero()
+    if isinstance(A, DeviceBaseAlgebra) and len(terms) > 2:
+        F = A.F
+        stacked = _stack_rows(terms)                     # (k, ...)
+        leaf = jax.tree_util.tree_leaves(stacked)[0]
+        one_row = F.ones((1,) + leaf.shape[1:])
+        pre = F.cumprod(stacked, axis=0)
+        pre_ex = tree_map(lambda o, a: jnp.concatenate([o, a[:-1]], axis=0),
+                          one_row, pre)
+        rev = tree_map(lambda a: a[::-1], stacked)
+        suf = F.cumprod(rev, axis=0)
+        suf_ex = tree_map(lambda o, a: jnp.concatenate([o, a[:-1]], axis=0),
+                          one_row, suf)
+        suf_ex = tree_map(lambda a: a[::-1], suf_ex)
+        loo = F.mul(pre_ex, suf_ex)                      # (k, ...)
+        if weights is not None:
+            loo = F.mul(loo, _stack_rows(list(weights)))
+        return F.batch_sum(loo, axis=0)
+    acc = None
+    for i in range(len(terms)):
+        t = _tree_prod(A, [terms[j] for j in range(len(terms)) if j != i])
+        if weights is not None:
+            t = A.mul(weights[i], t)
+        acc = t if acc is None else A.add(acc, t)
+    return acc
 
 
 def evaluate_gate_constraints(A, common, vars: EvaluationVars) -> List:
@@ -50,12 +112,35 @@ def evaluate_gate_constraints(A, common, vars: EvaluationVars) -> List:
 def check_partial_products(A, numerators: Sequence, denominators: Sequence,
                            partials: Sequence, z_x, z_gx,
                            max_degree: int) -> List:
-    """reference util/partial_products.rs:53-80."""
+    """reference util/partial_products.rs:53-80.
+
+    Device path: chunk products via log-depth tree reductions on stacked
+    arrays (unrolled multiply chains are pathological for XLA:CPU compile
+    time); values are identical — field reassociation is exact."""
+    n = len(numerators)
+    nchunks = -(-n // max_degree)
+    assert nchunks == len(partials) + 1
+    if isinstance(A, DeviceBaseAlgebra) and n > 4:
+        F = A.F
+        pad = nchunks * max_degree - n
+        leaf_shape = jax.tree_util.tree_leaves(numerators[0])[0].shape
+        ones = [F.ones(leaf_shape)] * pad
+        nums = _stack_rows(list(numerators) + ones)
+        dens = _stack_rows(list(denominators) + ones)
+        nums = tree_map(lambda a: a.reshape((nchunks, max_degree)
+                                            + a.shape[1:]), nums)
+        dens = tree_map(lambda a: a.reshape((nchunks, max_degree)
+                                            + a.shape[1:]), dens)
+        num_prods = F.batch_prod(nums, axis=1)    # (nchunks, ...)
+        den_prods = F.batch_prod(dens, axis=1)
+        prev = _stack_rows([z_x] + list(partials))
+        nxt = _stack_rows(list(partials) + [z_gx])
+        out_batch = F.sub(F.mul(prev, num_prods), F.mul(nxt, den_prods))
+        return [_row(out_batch, k) for k in range(nchunks)]
     accs = [z_x] + list(partials) + [z_gx]
     out = []
     idx = 0
     chunk_i = 0
-    n = len(numerators)
     while idx < n:
         hi = min(idx + max_degree, n)
         num_prod = None
@@ -75,10 +160,25 @@ def check_partial_products(A, numerators: Sequence, denominators: Sequence,
 
 
 def reduce_with_powers(A, terms: Sequence, alpha):
-    """sum_i alpha^i terms[i] via Horner (reference plonk_common.rs:122-135);
-    alpha is a base-field scalar (host int / traced device scalar)."""
+    """sum_i alpha^i terms[i] (reference plonk_common.rs:122-135 does a
+    Horner chain); alpha is a base-field scalar (host int / traced device
+    scalar).  Device path: stacked power-weighted tree sum — log-depth graph
+    instead of an unrolled chain, identical field value."""
+    terms = list(terms)
+    if isinstance(A, DeviceBaseAlgebra) and len(terms) > 8:
+        F = A.F
+        C = len(terms)
+        stacked = _stack_rows(terms)                       # (C, ...)
+        alpha_b = tree_map(lambda a: jnp.broadcast_to(a, (C,)), alpha)
+        pows = F.cumprod(alpha_b, axis=0)                  # [a, a^2, ..]
+        pows = tree_map(
+            lambda o, p: jnp.concatenate([o, p[:-1]], axis=0),
+            F.ones((1,)), pows)                            # [1, a, ..]
+        extra = jax.tree_util.tree_leaves(stacked)[0].ndim - 1
+        pows = tree_map(lambda a: a.reshape((C,) + (1,) * extra), pows)
+        return F.batch_sum(F.mul(stacked, pows), axis=0)
     cumul = A.zero()
-    for term in reversed(list(terms)):
+    for term in reversed(terms):
         cumul = A.add(A.mul_scalar(cumul, alpha), term)
     return cumul
 
@@ -172,10 +272,10 @@ def check_lookup_constraints(A, common, vars: EvaluationVars,
             lookup_selectors[r],
             A.sub(z_re, A.lift_scalar(re_eval))))
 
-    # RE row transition
-    cur_sum = next_z_re
-    for elt in lookup_combos:
-        cur_sum = A.add(A.mul_scalar(cur_sum, deltas4[3]), elt)
+    # RE row transition: Horner in delta == power-weighted sum of the
+    # reversed combos with next_z_re as the leading term
+    cur_sum = reduce_with_powers(
+        A, list(reversed(lookup_combos)) + [next_z_re], deltas4[3])
     constraints.append(A.mul(lookup_selectors[LOOKUP_SEL_TRANS_SRE],
                              A.sub(z_re, cur_sum)))
 
@@ -185,29 +285,14 @@ def check_lookup_constraints(A, common, vars: EvaluationVars,
         lu_rng = range(poly * lu_degree,
                        min((poly + 1) * lu_degree, num_lu_slots))
 
-        def prod(terms):
-            acc = None
-            for t in terms:
-                acc = t if acc is None else A.mul(acc, t)
-            return acc if acc is not None else A.one()
-
-        lut_prod = prod([m_looked[i] for i in lut_rng])
-        lu_prod = prod([m_looking[i] for i in lu_rng])
-        lu_sum_prods = None
-        for i in lu_rng:
-            t = prod([m_looking[j] for j in lu_rng if j != i])
-            lu_sum_prods = t if lu_sum_prods is None else \
-                A.add(lu_sum_prods, t)
-        if lu_sum_prods is None:
-            lu_sum_prods = A.zero()
-        lut_sum_prods_mul = None
-        for i in lut_rng:
-            t = A.mul(lw[LookupTableGate.wire_ith_multiplicity(i)],
-                      prod([m_looked[j] for j in lut_rng if j != i]))
-            lut_sum_prods_mul = t if lut_sum_prods_mul is None else \
-                A.add(lut_sum_prods_mul, t)
-        if lut_sum_prods_mul is None:
-            lut_sum_prods_mul = A.zero()
+        lut_prod = _tree_prod(A, [m_looked[i] for i in lut_rng])
+        lu_prod = _tree_prod(A, [m_looking[i] for i in lu_rng])
+        lu_sum_prods = _leave_one_out_sum(
+            A, [m_looking[i] for i in lu_rng])
+        lut_sum_prods_mul = _leave_one_out_sum(
+            A, [m_looked[i] for i in lut_rng],
+            weights=[lw[LookupTableGate.wire_ith_multiplicity(i)]
+                     for i in lut_rng])
 
         prev = z_gx_sldcs[num_sldc - 1] if poly == 0 else z_x_sldcs[poly - 1]
         sum_trans = A.sub(A.mul(lut_prod, A.sub(z_x_sldcs[poly], prev)),

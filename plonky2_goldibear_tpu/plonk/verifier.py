@@ -18,7 +18,7 @@ class VerificationError(Exception):
 
 
 def verify(proof_with_pis: ProofWithPublicInputs, verifier_data, common,
-           hasher=poseidon_gl) -> None:
+           hasher=poseidon_gl, inner_hasher=None) -> None:
     """Raises on invalid proofs (reference verifier.rs:17-129)."""
     spec = common.spec
     proof = proof_with_pis.proof
@@ -26,7 +26,8 @@ def verify(proof_with_pis: ProofWithPublicInputs, verifier_data, common,
     if len(proof_with_pis.public_inputs) != common.num_public_inputs:
         raise VerificationError("wrong number of public inputs")
 
-    public_inputs_hash = hasher.hash_no_pad_host(
+    # PI hash is the algebraic InnerHasher (reference verifier.rs:54)
+    public_inputs_hash = (inner_hasher or hasher).hash_no_pad_host(
         proof_with_pis.public_inputs)
     challenges = get_challenges(proof_with_pis, public_inputs_hash,
                                 verifier_data.circuit_digest, common, hasher)

@@ -167,3 +167,14 @@ def test_poseidon2_bb_gate():
     for i in range(8):
         swapped[i], swapped[i + 8] = swapped[i + 8], swapped[i]
     assert outputs == p2.permute_host(swapped)
+
+
+def test_misc_bb_gates():
+    from plonky2_goldibear_tpu.field.host import BABYBEAR
+    from plonky2_goldibear_tpu.gates.misc_gates import (
+        AddManyGate, ApplyMat4Gate, Poseidon2InternalPermutationGate)
+    for gate in [AddManyGate(num_addends=5, num_ops=6),
+                 ApplyMat4Gate(num_ops=1, D=4),
+                 Poseidon2InternalPermutationGate(D=4)]:
+        gt.test_low_degree(gate, BABYBEAR)
+        gt.check_generated_witness(gate, BABYBEAR)

@@ -1,0 +1,103 @@
+"""Poseidon2-risc0-BabyBear (width 24): permutation KAT, host==device,
+sponge APIs, and the gate (reference hash/poseidon2_risc0_babybear.rs,
+gates/poseidon2_risc0_babybear.rs)."""
+
+import random
+
+import numpy as np
+
+from plonky2_goldibear_tpu.field import bb
+from plonky2_goldibear_tpu.field.host import BABYBEAR
+from plonky2_goldibear_tpu.gates import gate_testing as gt
+from plonky2_goldibear_tpu.gates.gate_testing import _DictWitness
+from plonky2_goldibear_tpu.gates.poseidon2_r0_bb_gate import \
+    Poseidon2R0BabyBearGate
+from plonky2_goldibear_tpu.hash import poseidon2_r0_bb as r0
+
+# reference test_against_r0_values (poseidon2_risc0_babybear.rs:322-342)
+_KAT_EXPECTED = [
+    0x2ed3e23d, 0x12921fb0, 0x0e659e79, 0x61d81dc9, 0x32bae33b, 0x62486ae3,
+    0x1e681b60, 0x24b91325, 0x2a2ef5b9, 0x50e8593e, 0x5bc818ec, 0x10691997,
+    0x35a14520, 0x2ba6a3c5, 0x279d47ec, 0x55014e81, 0x5953a67f, 0x2f403111,
+    0x6b8828ff, 0x1801301f, 0x2749207a, 0x3dc9cf21, 0x3c985ba2, 0x57a99864,
+]
+
+
+def test_permutation_kat():
+    assert r0.permute_host(list(range(24))) == _KAT_EXPECTED
+
+
+def test_device_matches_host():
+    rng = random.Random(11)
+    states = [[rng.randrange(BABYBEAR.p) for _ in range(24)]
+              for _ in range(3)]
+    states[0] = list(range(24))
+    dev = r0.permute(bb.from_ints(np.array(states, dtype=np.uint64)))
+    dev_ints = bb.to_ints(dev)
+    for i, s in enumerate(states):
+        assert [int(x) for x in dev_ints[i]] == r0.permute_host(s)
+
+
+def test_sponge_apis_host_vs_device():
+    rng = random.Random(12)
+    for length in (5, 8, 16, 19, 40):
+        inputs = [rng.randrange(BABYBEAR.p) for _ in range(length)]
+        host_digest = r0.hash_no_pad_host(inputs)
+        dev = r0.hash_no_pad(
+            bb.from_ints(np.array([inputs], dtype=np.uint64)))
+        assert [int(x) for x in bb.to_ints(dev)[0]] == host_digest
+    a = [rng.randrange(BABYBEAR.p) for _ in range(8)]
+    b = [rng.randrange(BABYBEAR.p) for _ in range(8)]
+    htt = r0.two_to_one_host(a, b)
+    dtt = r0.two_to_one(bb.from_ints(np.array([a], dtype=np.uint64)),
+                        bb.from_ints(np.array([b], dtype=np.uint64)))
+    assert [int(x) for x in bb.to_ints(dtt)[0]] == htt
+
+
+def test_r0_in_circuit_hash_prove_verify():
+    """reference poseidon2_risc0_babybear.rs:344-367: hash_or_noop with the
+    R0 hasher inside a standard Poseidon2BabyBearConfig circuit."""
+    from plonky2_goldibear_tpu.iop.generator import seed_randomness
+    from plonky2_goldibear_tpu.iop.witness import PartialWitness
+    from plonky2_goldibear_tpu.plonk.builder import CircuitBuilder
+    from plonky2_goldibear_tpu.plonk.config import CircuitConfig
+
+    seed_randomness(99)
+    builder = CircuitBuilder(CircuitConfig.recursion_config_bb_wide(),
+                             spec=BABYBEAR)
+    rng = random.Random(14)
+    vals = [rng.randrange(BABYBEAR.p) for _ in range(24)]
+    ts = [builder.add_virtual_target() for _ in range(24)]
+    digest = builder.hash_or_noop(ts, hasher=r0)
+    expected = r0.hash_no_pad_host(vals)
+    for d, e in zip(digest, expected):
+        builder.connect(d, builder.constant(e))
+
+    data = builder.build()
+    pw = PartialWitness()
+    for t, v in zip(ts, vals):
+        pw.set_target(t, v)
+    proof = data.prove(pw)
+    data.verify(proof)
+
+
+def test_r0_gate():
+    g = Poseidon2R0BabyBearGate(num_ops=1)
+    gt.test_low_degree(g, BABYBEAR)
+    gt.check_generated_witness(g, BABYBEAR,
+                               fixed={("w", 0, g.wire_swap(0)): 0})
+    # swapped outputs equal the permutation of the swapped input
+    rng = random.Random(13)
+    wires = {("w", 0, g.wire_swap(0)): 1}
+    inp = [rng.randrange(BABYBEAR.p) for _ in range(24)]
+    for i, v in enumerate(inp):
+        wires[("w", 0, g.wire_input(0, i))] = v
+    w = _DictWitness(wires)
+    out = []
+    g.generators(0, [], BABYBEAR)[0].run_once(w, out)
+    got = dict(out)
+    outputs = [got[("w", 0, g.wire_output(0, i))] for i in range(24)]
+    swapped = list(inp)
+    for i in range(8):
+        swapped[i], swapped[i + 8] = swapped[i + 8], swapped[i]
+    assert outputs == r0.permute_host(swapped)
