@@ -1,14 +1,18 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Current headline (round 1): Poseidon-GL permutation throughput measured as a
-full Merkle-cap commit of 2^13 leaves x 135 Goldilocks elements — the same
-workload as the reference's merkle bench (plonky2/benches/merkle.rs:13-30)
-and the wires-commit hot path of a 2^13-row circuit.
+Headline: Poseidon-GL permutation throughput measured as a full Merkle-cap
+commit of 2^13 leaves x 135 Goldilocks elements — the same workload as the
+reference's merkle bench (plonky2/benches/merkle.rs:13-30) and the
+wires-commit hot path of a 2^13-row circuit.  Secondary metrics ride in the
+same JSON object under "extra":
+  - ntt_2e24_elems_per_s: single-poly 2^24-point NTT (ops/ntt.py four-step);
+    the reference bench analog is `ffts`/`lde` (plonky2/benches/ffts.rs)
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); we compare
 against an estimated 64-core CPU figure of 1.0e8 Poseidon permutations/s
 (~1.56M perms/s/core scalar Rust), documented here so the assumption is
-auditable.  Later rounds switch this to proofs/s on the recursion bench.
+auditable.  The NTT baseline estimate is 2.0e8 elems/s for a 64-core CPU
+2^24 NTT (~85 ms; scalar Rust radix-2 with rayon column parallelism).
 """
 
 import json
@@ -17,7 +21,18 @@ import time
 import numpy as np
 
 
-def main():
+def _bench(fn, argsets, iters):
+    import jax
+    out = fn(*argsets[0])
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(*argsets[i % len(argsets)])
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_poseidon_merkle():
     import jax
     from plonky2_goldibear_tpu.field import gl
     from plonky2_goldibear_tpu.hash import merkle
@@ -26,8 +41,11 @@ def main():
     leaf_len = 135
     cap_height = 4
     rng = np.random.default_rng(0)
-    vals = rng.integers(0, gl.P, size=(n_leaves, leaf_len), dtype=np.uint64)
-    leaves = gl.from_ints(vals)
+    # distinct buffers per call: the runtime elides repeated dispatches of
+    # identical (executable, args) pairs, which would inflate the numbers
+    leaf_sets = [gl.from_ints(rng.integers(0, gl.P, size=(n_leaves, leaf_len),
+                                           dtype=np.uint64))
+                 for _ in range(4)]
     num_layers = 13 - cap_height
 
     @jax.jit
@@ -36,28 +54,41 @@ def main():
         cap = levels[-1]
         return cap.lo, cap.hi
 
-    # permutations per build: leaf sponge (ceil(135/8)=17 permutes each)
-    # + one two_to_one permute per internal node below the cap
     perms_per_leaf = -(-leaf_len // 8)
     internal = n_leaves - (1 << cap_height)
     total_perms = n_leaves * perms_per_leaf + internal
+    dt = _bench(build, [(ls.lo, ls.hi) for ls in leaf_sets], iters=20)
+    return total_perms / dt
 
-    lo, hi = build(leaves.lo, leaves.hi)
-    jax.block_until_ready((lo, hi))
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        lo, hi = build(leaves.lo, leaves.hi)
-    jax.block_until_ready((lo, hi))
-    dt = (time.perf_counter() - t0) / iters
 
-    perms_per_s = total_perms / dt
-    baseline_cpu = 1.0e8  # estimated 64-core scalar-Rust Poseidon perms/s
+def bench_ntt_2e24():
+    import jax
+    from plonky2_goldibear_tpu.field import gl
+    from plonky2_goldibear_tpu.ops import ntt
+
+    n = 1 << 24
+    rng = np.random.default_rng(1)
+    xs = [gl.from_ints(rng.integers(0, gl.P, size=(1, n), dtype=np.uint64))
+          for _ in range(2)]
+    f = jax.jit(lambda lo, hi: tuple(ntt.fft(gl.GL(lo, hi))))
+    dt = _bench(f, [(x.lo, x.hi) for x in xs], iters=6)
+    return n / dt
+
+
+def main():
+    perms_per_s = bench_poseidon_merkle()
+    ntt_elems_per_s = bench_ntt_2e24()
+    baseline_perms = 1.0e8   # estimated 64-core scalar-Rust Poseidon perms/s
+    baseline_ntt = 2.0e8     # estimated 64-core 2^24 NTT elems/s
     print(json.dumps({
         "metric": "poseidon_gl_perms_per_s",
         "value": round(perms_per_s, 1),
         "unit": "perms/s",
-        "vs_baseline": round(perms_per_s / baseline_cpu, 3),
+        "vs_baseline": round(perms_per_s / baseline_perms, 3),
+        "extra": {
+            "ntt_2e24_elems_per_s": round(ntt_elems_per_s, 1),
+            "ntt_vs_baseline": round(ntt_elems_per_s / baseline_ntt, 3),
+        },
     }))
 
 

@@ -101,18 +101,44 @@ def reverse_index_bits(x, axis: int = -1):
     return ttake(x, _bitrev_perm(host.log2_strict(n)), axis)
 
 
-def fft(F, x, roots=None):
-    """Forward NTT over the last axis.  x: field pytree (..., n)."""
+FORCE_JNP = False  # set True to bypass the ops/ kernel (tests, cpu-pinned)
+
+
+def _use_pallas_ntt(F, n: int) -> bool:
+    """Trace-time dispatch to the fused ops/ntt.py kernel (TPU, GL, n>=256)."""
+    return (not FORCE_JNP and F is gl_mod and n >= 256
+            and jax.default_backend() == "tpu")
+
+
+def fft(F, x, roots=None, zero_prefix_log: int = 0):
+    """Forward NTT over the last axis.  x: field pytree (..., n).
+
+    ``zero_prefix_log`` = r declares that only the first n/2^r coefficients
+    are (possibly) nonzero — the LDE case.  The first r DIT rounds on such
+    input just replicate each coefficient across its 2^r-block, so they are
+    replaced by one repeat and skipped (reference field/src/fft.rs:168-205).
+    """
     n = tshape(x)[-1]
     n_log = host.log2_strict(n)
     if n == 1:
         return x
+    if _use_pallas_ntt(F, n):
+        from ..ops import ntt as ntt_ops
+
+        return ntt_ops.fft(x, zero_prefix_log=zero_prefix_log)
     if roots is None:
         roots = root_table(F, n_log)
     shape = tshape(x)
     batch = shape[:-1]
-    x = reverse_index_bits(x, axis=-1)
-    for s in range(n_log):
+    r = zero_prefix_log
+    if r:
+        n_small = n >> r
+        small = _tmap(lambda a: a[..., :n_small], x)
+        small = reverse_index_bits(small, axis=-1)
+        x = _tmap(lambda a: jnp.repeat(a, 1 << r, axis=-1), small)
+    else:
+        x = reverse_index_bits(x, axis=-1)
+    for s in range(r, n_log):
         half = 1 << s          # half block
         m = half * 2
         nblocks = n // m
@@ -183,12 +209,15 @@ def pad_coeffs(coeffs, new_n: int):
 def lde_coset_fft(F, coeffs, rate_bits: int, shift: int = None, roots=None):
     """Low-degree extension: zero-pad x 2^rate_bits then coset-fft on the
     generator coset (the PolynomialBatch commit path, reference
-    fri/oracle.rs:125-150)."""
+    fri/oracle.rs:125-150).  The padding is virtual: coset scaling touches
+    only the n real coefficients and the FFT skips its first rate_bits
+    rounds (zero-prefix optimization, field/src/fft.rs:168-205)."""
     if shift is None:
         shift = F.SPEC.coset_shift
     n = tshape(coeffs)[-1]
-    padded = pad_coeffs(coeffs, n << rate_bits)
-    return coset_fft(F, padded, shift, roots)
+    scaled = F.mul(coeffs, powers(F, shift, n))
+    padded = pad_coeffs(scaled, n << rate_bits)
+    return fft(F, padded, roots, zero_prefix_log=rate_bits)
 
 
 # -- extension-field transforms (componentwise over the base field) ---------

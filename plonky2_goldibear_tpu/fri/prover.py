@@ -185,12 +185,10 @@ def fri_proof(F, initial_trees, lde_coeffs, lde_values, challenger,
 
     # ---- query phase (reference fri/prover.rs:190-255) ----
     n = fri_params.lde_size
-    query_rounds = []
-    for rand in challenger.get_n_challenges(
-            fri_params.config.num_query_rounds):
-        x_index = rand % n
-        query_rounds.append(
-            _query_round(E, initial_trees, trees, x_index, fri_params))
+    x_indices = [rand % n for rand in challenger.get_n_challenges(
+        fri_params.config.num_query_rounds)]
+    query_rounds = _query_rounds(E, initial_trees, trees, x_indices,
+                                 fri_params)
 
     return FriProof(
         commit_phase_merkle_caps=[t.cap_host() for t in trees],
@@ -263,27 +261,41 @@ def fri_proof_of_work(F, challenger, config, hasher=poseidon_gl,
         assert start < 1 << 32, "PoW grind exhausted 2^32 candidates"
 
 
-def _query_round(E, initial_trees, trees, x_index: int,
-                 fri_params) -> FriQueryRound:
-    evals_proofs = []
-    for t in initial_trees:
-        evals_proofs.append((t.tree.leaf_host(x_index),
-                             t.tree.prove(x_index)))
-    steps = []
+def _query_rounds(E, initial_trees, trees, x_indices: List[int],
+                  fri_params) -> List[FriQueryRound]:
+    """All query rounds at once: per tree ONE batched gather + transfer for
+    leaves and one per level for sibling chains (merkle.prove_batch), instead
+    of per-query host reads (reference fri/prover.rs:190-255 walks per query;
+    host-device round trips make that layout hostile on TPU)."""
+    nq = len(x_indices)
+    init_leaves = [t.tree.leaf_batch(x_indices) for t in initial_trees]
+    init_proofs = [t.tree.prove_batch(x_indices) for t in initial_trees]
+    step_data = []
+    cur = list(x_indices)
     for i, tree in enumerate(trees):
         arity_bits = fri_params.reduction_arity_bits[i]
-        coset_index = x_index >> arity_bits
-        leaf = tree.leaf_host(coset_index)
-        # unflatten: consecutive D base values per ext element
-        D = E.D
-        evals = [tuple(leaf[j * D + d] for d in range(D))
-                 for j in range(len(leaf) // D)]
-        steps.append(FriQueryStep(evals=evals,
-                                  merkle_proof=tree.prove(coset_index)))
-        x_index = coset_index
-    return FriQueryRound(
-        initial_trees_proof=FriInitialTreeProof(evals_proofs=evals_proofs),
-        steps=steps)
+        coset_indices = [x >> arity_bits for x in cur]
+        leaves = tree.leaf_batch(coset_indices)
+        proofs = tree.prove_batch(coset_indices)
+        step_data.append((leaves, proofs))
+        cur = coset_indices
+
+    D = E.D
+    rounds = []
+    for q in range(nq):
+        evals_proofs = [(init_leaves[t][q], init_proofs[t][q])
+                        for t in range(len(initial_trees))]
+        steps = []
+        for i in range(len(trees)):
+            leaf = step_data[i][0][q]
+            evals = [tuple(leaf[j * D + d] for d in range(D))
+                     for j in range(len(leaf) // D)]
+            steps.append(FriQueryStep(evals=evals,
+                                      merkle_proof=step_data[i][1][q]))
+        rounds.append(FriQueryRound(
+            initial_trees_proof=FriInitialTreeProof(evals_proofs=evals_proofs),
+            steps=steps))
+    return rounds
 
 
 def prove_openings(F, instance, oracles, challenger, fri_params,

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
+import jax
 import numpy as np
 
 from ..field import gl
@@ -86,19 +87,52 @@ class MerkleTree:
 
     def prove(self, leaf_index: int) -> List:
         """Sibling digests from leaf level up to (excluding) the cap."""
-        levels = self._levels_host()
-        siblings = []
-        idx = leaf_index
+        return self.prove_batch([leaf_index])[0]
+
+    def prove_batch(self, leaf_indices: Sequence[int]) -> List[List]:
+        """Sibling chains for many leaves with one device gather + one
+        transfer per level (the reference reads siblings out of its
+        interleaved digest buffer, merkle_tree.rs:188-222; on TPU the analog
+        is a batched gather so the 28 FRI query rounds don't pull whole
+        levels across the host boundary)."""
+        import jax.numpy as jnp  # noqa: F401
+
+        if hasattr(self.hasher, "digests_host"):
+            # byte-digest hashers (Keccak) keep the host path
+            levels = self._levels_host()
+            out = []
+            for leaf_index in leaf_indices:
+                sibs, idx = [], leaf_index
+                for k in range(self.num_layers):
+                    sib = levels[k][idx ^ 1]
+                    sibs.append(sib if isinstance(sib, bytes)
+                                else [int(x) for x in sib])
+                    idx >>= 1
+                out.append(sibs)
+            return out
+        idx = np.asarray(list(leaf_indices), dtype=np.int64)
+        per_level = []
         for k in range(self.num_layers):
-            sib = levels[k][idx ^ 1]
-            siblings.append(sib if isinstance(sib, bytes)
-                            else [int(x) for x in sib])
+            sib_idx = jnp.asarray(idx ^ 1, dtype=jnp.int32)
+            gathered = jax.tree_util.tree_map(
+                lambda a: a[sib_idx], self.levels[k])     # (nq, 4)
+            per_level.append(self._F.to_ints(gathered))
             idx >>= 1
-        return siblings
+        return [[[int(x) for x in per_level[k][q]]
+                 for k in range(self.num_layers)]
+                for q in range(len(leaf_indices))]
 
     def leaf_host(self, leaf_index: int) -> List[int]:
-        row = self._F.to_ints(self.leaves[leaf_index])
-        return [int(x) for x in row]
+        return self.leaf_batch([leaf_index])[0]
+
+    def leaf_batch(self, leaf_indices: Sequence[int]) -> List[List[int]]:
+        """Many leaf rows with one gather + one transfer."""
+        import jax.numpy as jnp
+
+        idx = jnp.asarray(list(leaf_indices), dtype=jnp.int32)
+        rows = self._F.to_ints(jax.tree_util.tree_map(
+            lambda a: a[idx], self.leaves))
+        return [[int(x) for x in row] for row in rows]
 
 
 def verify_merkle_proof_to_cap(leaf_data: Sequence[int], leaf_index: int,

@@ -289,8 +289,25 @@ def _scan_rounds(state: GL, rcs: GL, body) -> GL:
     return out
 
 
+def _use_pallas(batch: int) -> bool:
+    """Dispatch to the fused ops/ kernels on TPU for large batches.
+
+    Shapes are static under jit, so this is a trace-time decision; the jnp
+    path remains the semantic reference (and the CPU/test path).
+    """
+    import jax
+
+    return (jax.default_backend() == "tpu" and batch >= 128
+            and batch % 128 == 0)
+
+
 def permute(state: GL) -> GL:
     """Batched Poseidon permutation; state: GL (..., 12)."""
+    if state.ndim == 2 and _use_pallas(state.shape[0]):
+        from ..ops import poseidon_gl as K
+
+        out = K.permute_cols(GL(state.lo.T, state.hi.T))
+        return GL(out.lo.T, out.hi.T)
     state = _scan_rounds(state, _RC_FULL0, _full_round)
     state = _scan_rounds(state, _RC_PARTIAL, _partial_round)
     state = _scan_rounds(state, _RC_FULL1, _full_round)
@@ -302,6 +319,14 @@ def hash_n_to_m_no_pad(inputs: GL, num_outputs: int) -> GL:
     shape = inputs.shape
     L = shape[-1]
     batch = shape[:-1]
+    if (inputs.ndim == 2 and num_outputs == NUM_HASH_OUT and L > RATE
+            and _use_pallas(shape[0])):
+        # fused leaf-sponge kernel: the state stays in VMEM across all
+        # ceil(L/8) permutations instead of round-tripping HBM per absorb
+        from ..ops import poseidon_gl as K
+
+        out = K.hash_cols_no_pad(GL(inputs.lo.T, inputs.hi.T))
+        return GL(out.lo.T, out.hi.T)
     state = gl.zeros(batch + (WIDTH,))
     for i in range(0, L, RATE):
         chunk = inputs[..., i: i + RATE]

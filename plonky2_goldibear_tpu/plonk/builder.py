@@ -106,6 +106,9 @@ class CircuitBuilder:
         self.luts: List[Tuple[Tuple[int, int], ...]] = []
         self.lut_to_lookups: List[List[Tuple]] = []
         self.lookup_rows: List[Tuple[int, int, int]] = []
+        # gate-count profiler (reference util/context_tree.rs:12,134)
+        from ..utils.context_tree import ContextTree
+        self.context_tree = ContextTree()
 
     # -- targets -------------------------------------------------------------
 
@@ -126,6 +129,24 @@ class CircuitBuilder:
 
     def num_gates(self) -> int:
         return len(self.gate_instances)
+
+    # -- gate-count contexts (reference circuit_builder.rs:719-725) ---------
+
+    def push_context(self, name: str):
+        self.context_tree.push(name, self.num_gates())
+
+    def pop_context(self):
+        self.context_tree.pop(self.num_gates())
+
+    def print_gate_counts(self, min_delta: int = 1) -> str:
+        """Render per-context gate counts (reference context_tree.rs:134 /
+        circuit_builder.rs:1042-1058); returns the report and logs it."""
+        import logging
+        final = self.num_gates()
+        tree = self.context_tree.filter(final, min_delta)
+        report = "\n".join(tree.lines(final))
+        logging.getLogger(__name__).debug(report)
+        return report
 
     # -- gates ---------------------------------------------------------------
 

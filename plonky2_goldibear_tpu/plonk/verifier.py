@@ -20,9 +20,15 @@ class VerificationError(Exception):
 def verify(proof_with_pis: ProofWithPublicInputs, verifier_data, common,
            hasher=poseidon_gl, inner_hasher=None) -> None:
     """Raises on invalid proofs (reference verifier.rs:17-129)."""
+    from .validate_shape import ShapeError, validate_proof_with_pis_shape
+
     spec = common.spec
     proof = proof_with_pis.proof
 
+    try:
+        validate_proof_with_pis_shape(proof_with_pis, common)
+    except ShapeError as e:
+        raise VerificationError(str(e)) from None
     if len(proof_with_pis.public_inputs) != common.num_public_inputs:
         raise VerificationError("wrong number of public inputs")
 

@@ -37,12 +37,18 @@ class OpeningSetTarget:
     plonk_zs_next: List[Tuple]
     partial_products: List[Tuple]
     quotient_polys: List[Tuple]
+    lookup_zs: List[Tuple] = None
+    lookup_zs_next: List[Tuple] = None
 
     def to_fri_openings(self):
+        """Batch layout mirrors proof.py OpeningSet.to_fri_openings
+        (reference plonk/proof.rs:388-428): zeta batch has all polys incl.
+        lookup Zs, g*zeta batch has plonk Zs + lookup Zs."""
         zeta_batch = (self.constants + self.plonk_sigmas + self.wires
                       + self.plonk_zs + self.partial_products
-                      + self.quotient_polys)
-        return [zeta_batch, list(self.plonk_zs_next)]
+                      + self.quotient_polys + list(self.lookup_zs or []))
+        return [zeta_batch,
+                list(self.plonk_zs_next) + list(self.lookup_zs_next or [])]
 
 
 @dataclass
@@ -91,7 +97,9 @@ def add_virtual_proof_with_pis(b, common) -> ProofWithPublicInputsTarget:
         plonk_zs_next=[ext() for _ in range(common.config.num_challenges)],
         partial_products=[ext() for _ in range(
             common.config.num_challenges * common.num_partial_products)],
-        quotient_polys=[ext() for _ in range(common.num_quotient_polys())])
+        quotient_polys=[ext() for _ in range(common.num_quotient_polys())],
+        lookup_zs=[ext() for _ in range(common.num_all_lookup_polys())],
+        lookup_zs_next=[ext() for _ in range(common.num_all_lookup_polys())])
 
     num_leaves_per_oracle = [
         common.num_preprocessed_polys(),
@@ -134,7 +142,13 @@ def get_challenges_target(b, proof_t: ProofTarget, public_inputs_hash,
     ch.observe_cap(proof_t.wires_cap)
     plonk_betas = ch.get_n_challenges(nch)
     plonk_gammas = ch.get_n_challenges(nch)
-    assert common.num_lookup_polys == 0, "lookup deltas: later round"
+
+    # lookup delta challenges (reference get_challenges.rs:49-76): the four
+    # per-challenge coins are [beta, gamma, extra_0, extra_1]
+    plonk_deltas = []
+    if common.num_lookup_polys != 0:
+        additional = ch.get_n_challenges(2 * nch)
+        plonk_deltas = list(plonk_betas) + list(plonk_gammas) + additional
 
     ch.observe_cap(proof_t.plonk_zs_partial_products_cap)
     plonk_alphas = ch.get_n_challenges(nch)
@@ -158,6 +172,7 @@ def get_challenges_target(b, proof_t: ProofTarget, public_inputs_hash,
     return {
         "plonk_betas": plonk_betas,
         "plonk_gammas": plonk_gammas,
+        "plonk_deltas": plonk_deltas,
         "plonk_alphas": plonk_alphas,
         "plonk_zeta": plonk_zeta,
         "fri_alpha": fri_alpha,
@@ -165,6 +180,44 @@ def get_challenges_target(b, proof_t: ProofTarget, public_inputs_hash,
         "fri_pow_response": fri_pow_response,
         "fri_query_indices": fri_query_indices,
     }
+
+
+def get_lut_re_evals_circuit(b, common, deltas) -> List[List]:
+    """In-circuit LUT-polynomial evaluation at the delta challenge targets
+    (reference vanishing_poly.rs:31-52 get_lut_poly + its circuit use at
+    :991; host twin is vanishing.get_lut_re_evals).  Per challenge i, per
+    LUT: Horner over the LUT entries (inp + ChallengeB*out) at
+    ChallengeDelta, then shift by Delta^(padding)."""
+    from ..gates.lookup_gates import LookupTableGate
+
+    nch = common.config.num_challenges
+    num_lut_slots = LookupTableGate.num_slots_of(common.config)
+    out = []
+    for i in range(nch):
+        delta_b = deltas[4 * i + 1]
+        delta_d = deltas[4 * i + 3]
+        evals = []
+        for lut in common.luts:
+            rows = -(-len(lut) // num_lut_slots)
+            degree = num_lut_slots * rows
+            acc = b.zero()
+            for inp, out_v in lut:
+                c_t = b.add_const(b.mul_const(int(out_v), delta_b), int(inp))
+                acc = b.mul_add(acc, delta_d, c_t)
+            pad = degree - len(lut)
+            if pad:
+                # acc *= delta_d^pad (square-and-multiply over targets)
+                dpow, base, e = None, delta_d, pad
+                while e:
+                    if e & 1:
+                        dpow = base if dpow is None else b.mul(dpow, base)
+                    e >>= 1
+                    if e:
+                        base = b.square(base)
+                acc = b.mul(acc, dpow)
+            evals.append(acc)
+        out.append(evals)
+    return out
 
 
 def verify_proof(b, proof_with_pis_t: ProofWithPublicInputsTarget,
@@ -204,12 +257,18 @@ def verify_proof(b, proof_with_pis_t: ProofWithPublicInputsTarget,
         b.constant_extension(n % spec.p))
     l_0_zeta = b.div_extension(z_h_zeta, denom)
 
+    deltas = challenges.get("plonk_deltas", [])
+    lut_re_evals = (get_lut_re_evals_circuit(b, common, deltas)
+                    if common.num_lookup_polys else [])
     vanishing_zeta = vanishing.eval_vanishing_poly(
         A, common, zeta, l_0_zeta, vars,
         list(openings.plonk_zs), list(openings.plonk_zs_next),
         list(openings.partial_products), list(openings.plonk_sigmas),
         challenges["plonk_betas"], challenges["plonk_gammas"],
-        challenges["plonk_alphas"])
+        challenges["plonk_alphas"], deltas=deltas,
+        local_lookup_zs=list(openings.lookup_zs or []),
+        next_lookup_zs=list(openings.lookup_zs_next or []),
+        lut_re_evals=lut_re_evals)
 
     # quotient identity: vanishing_i(zeta) == Z_H(zeta) *
     #   reduce(chunk_i, zeta^n)
@@ -256,7 +315,9 @@ def set_proof_with_pis_target(pw: PartialWitness,
                    (ot.plonk_zs, o.plonk_zs),
                    (ot.plonk_zs_next, o.plonk_zs_next),
                    (ot.partial_products, o.partial_products),
-                   (ot.quotient_polys, o.quotient_polys)]:
+                   (ot.quotient_polys, o.quotient_polys),
+                   (ot.lookup_zs or [], o.lookup_zs),
+                   (ot.lookup_zs_next or [], o.lookup_zs_next)]:
         assert len(ts) == len(vs), (len(ts), len(vs))
         for t, v in zip(ts, vs):
             _set_ext(pw, t, v)

@@ -73,3 +73,37 @@ def test_tampered_cap_rejected(fib_proof):
     with pytest.raises((VerificationError, FriVerificationError,
                         AssertionError)):
         verify(bad, data.verifier_only, data.common)
+
+
+def test_malformed_shape_rejected(fib_proof):
+    """validate_shape: structurally-mangled proofs die with a clean
+    VerificationError, not an internal IndexError (reference
+    plonk/validate_shape.rs:10-72)."""
+    import copy
+    data, proof = fib_proof
+
+    bad = copy.deepcopy(proof)
+    bad.proof.openings.wires.pop()
+    with pytest.raises(VerificationError, match="wire openings"):
+        verify(bad, data.verifier_only, data.common)
+
+    bad = copy.deepcopy(proof)
+    bad.proof.wires_cap.pop()
+    with pytest.raises(VerificationError, match="cap length"):
+        verify(bad, data.verifier_only, data.common)
+
+    bad = copy.deepcopy(proof)
+    bad.proof.opening_proof.query_round_proofs.pop()
+    with pytest.raises(VerificationError, match="query round count"):
+        verify(bad, data.verifier_only, data.common)
+
+    bad = copy.deepcopy(proof)
+    bad.proof.opening_proof.final_poly.append(
+        bad.proof.opening_proof.final_poly[0])
+    with pytest.raises(VerificationError, match="final poly"):
+        verify(bad, data.verifier_only, data.common)
+
+    bad = copy.deepcopy(proof)
+    del bad.proof.opening_proof.query_round_proofs[0].steps[0].evals[0]
+    with pytest.raises(VerificationError, match="step evals"):
+        verify(bad, data.verifier_only, data.common)

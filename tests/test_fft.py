@@ -93,3 +93,21 @@ def test_ext_fft_gl2():
             acc = host.ext_add(spec, host.ext_mul(spec, acc, x), c)
         got = tuple(int(vals[d][k]) for d in range(spec.ext_degree))
         assert got == acc, k
+
+
+def test_lde_zero_prefix_skip():
+    """lde_coset_fft skips the first rate_bits rounds via the zero-prefix
+    trick (reference field/src/fft.rs:168-205); result must equal the
+    explicit pad + coset_fft."""
+    import numpy as np
+    from plonky2_goldibear_tpu.field import fft as fftm
+    from plonky2_goldibear_tpu.field import gl
+
+    rng = np.random.default_rng(7)
+    for b, n, r in [(2, 64, 3), (1, 128, 2)]:
+        c = rng.integers(0, gl.P, size=(b, n), dtype=np.uint64)
+        out = fftm.lde_coset_fft(gl, gl.from_ints(c), r)
+        padded = np.concatenate(
+            [c, np.zeros((b, n * ((1 << r) - 1)), dtype=np.uint64)], axis=1)
+        ref = fftm.coset_fft(gl, gl.from_ints(padded), gl.SPEC.coset_shift)
+        np.testing.assert_array_equal(gl.to_ints(out), gl.to_ints(ref))

@@ -50,3 +50,75 @@ def test_lookup_tampered_output_rejected(lookup_proof):
     bad.public_inputs[4] = (bad.public_inputs[4] + 1) % data.common.spec.p
     with pytest.raises(Exception):
         verify(bad, data.verifier_only, data.common)
+
+
+def test_unknown_lookup_table_panics():
+    """reference lookup_test.rs:49-64 (no-table / wrong-index panics)."""
+    config = CircuitConfig.standard_recursion_config_gl()
+    builder = CircuitBuilder(config)
+    t = builder.add_virtual_target()
+    with pytest.raises(AssertionError):
+        builder.add_lookup_from_index(t, 0)
+
+
+def test_unused_lookup_table_panics():
+    """reference lookup_test.rs: a registered LUT with no lookups panics at
+    build."""
+    seed_randomness(556)
+    config = CircuitConfig.standard_recursion_config_gl()
+    builder = CircuitBuilder(config)
+    builder.add_lookup_table_from_table(list(range(16)), TIP5_16)
+    a = builder.add_virtual_target()
+    builder.register_public_input(a)
+    with pytest.raises(AssertionError):
+        builder.build()
+
+
+def test_two_luts_prove_verify():
+    """Two tables, interleaved lookups (reference lookup_test.rs two-LUT
+    tests)."""
+    seed_randomness(557)
+    config = CircuitConfig.standard_recursion_config_gl()
+    builder = CircuitBuilder(config)
+    lut0 = builder.add_lookup_table_from_table(list(range(16)), TIP5_16)
+    other = [(x * 3 + 1) % 256 for x in range(16)]
+    lut1 = builder.add_lookup_table_from_fn(
+        lambda x: (x * 3 + 1) % 256, list(range(16)))
+
+    ins = [builder.add_virtual_target() for _ in range(4)]
+    outs = [builder.add_lookup_from_index(ins[0], lut0),
+            builder.add_lookup_from_index(ins[1], lut1),
+            builder.add_lookup_from_index(ins[2], lut0),
+            builder.add_lookup_from_index(ins[3], lut1)]
+    for t in ins:
+        builder.register_public_input(t)
+    for t in outs:
+        builder.register_public_input(t)
+    data = builder.build()
+    pw = PartialWitness()
+    for t, v in zip(ins, [3, 7, 15, 0]):
+        pw.set_target(t, v)
+    proof = data.prove(pw)
+    assert proof.public_inputs[4:] == [TIP5_16[3], other[7], TIP5_16[15],
+                                       other[0]]
+    verify(proof, data.verifier_only, data.common)
+
+
+@pytest.mark.slow
+def test_many_lookups_prove_verify():
+    """515 lookups on one LUT (reference lookup_test.rs:many_lookups)."""
+    seed_randomness(558)
+    config = CircuitConfig.standard_recursion_config_gl()
+    builder = CircuitBuilder(config)
+    lut = builder.add_lookup_table_from_table(list(range(16)), TIP5_16)
+    ins = [builder.add_virtual_target() for _ in range(515)]
+    outs = [builder.add_lookup_from_index(t, lut) for t in ins]
+    builder.register_public_input(outs[0])
+    builder.register_public_input(outs[514])
+    data = builder.build()
+    pw = PartialWitness()
+    for i, t in enumerate(ins):
+        pw.set_target(t, i % 16)
+    proof = data.prove(pw)
+    assert proof.public_inputs == [TIP5_16[0], TIP5_16[514 % 16]]
+    verify(proof, data.verifier_only, data.common)

@@ -50,3 +50,26 @@ def test_print_renders_indented_tree():
     lines = t.lines()
     assert lines[0].endswith("to root")
     assert lines[1].startswith("  ") and lines[1].endswith("to child")
+
+
+def test_context_tree_gate_counts():
+    """ContextTree gate-count profiler (reference util/context_tree.rs)."""
+    from plonky2_goldibear_tpu.plonk.builder import CircuitBuilder
+    from plonky2_goldibear_tpu.plonk.config import CircuitConfig
+    from plonky2_goldibear_tpu.utils.context_tree import context
+
+    b = CircuitBuilder(CircuitConfig.standard_recursion_config_gl())
+    x = b.add_virtual_target()
+    with context(b, "square chain"):
+        y = x
+        for _ in range(30):
+            y = b.mul(y, y)
+        with context(b, "inner add"):
+            y = b.add(y, x)
+    with context(b, "empty scope"):
+        pass
+    report = b.print_gate_counts(min_delta=1)
+    assert "square chain" in report
+    assert "inner add" in report
+    assert "empty scope" not in report           # filtered by min_delta
+    assert report.startswith(f"{b.num_gates()} gates to root")
