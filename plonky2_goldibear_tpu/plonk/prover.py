@@ -250,7 +250,7 @@ class ProverKernels:
             routed, betas, gammas, self.s_id, self.sigmas_dev)
         self.quotient_fn = (
             lambda cs, wires, zs_pp, pi, betas, gammas, alphas, deltas,
-            lut_re: _quotient_jit(
+            lut_re: _quotient_split(
                 F, common, cs, wires, zs_pp, pi, betas, gammas, alphas,
                 deltas, lut_re, self.shifted_xs, self.l_0, self.zh_inv,
                 self.step, self.next_step, self.m))
@@ -299,9 +299,10 @@ def _pp_jit(F, qdf, num_prods, num_routed, num_challenges, routed,
 
 def _quotient_body(F, common, cs_lde, wires_lde, zs_pp_lde, pi_hash_arr,
                    betas_arr, gammas_arr, alphas_arr, deltas_arr,
-                   lut_re_arr, shifted_xs, l_0, zh_inv, step, next_step, m):
-    """Whole-domain vanishing evaluation + quotient split
-    (reference prover.rs:690-926)."""
+                   lut_re_arr, shifted_xs, l_0, step, next_step, m):
+    """Whole-domain vanishing "rest" evaluation (z1/partial-product/lookup
+    terms; reference prover.rs:690-926).  Gate constraint terms are computed
+    by the per-gate split programs (_gate_contrib_body)."""
     config = common.config
     qdf = common.quotient_degree_factor
     n = common.degree
@@ -348,15 +349,98 @@ def _quotient_body(F, common, cs_lde, wires_lde, zs_pp_lde, pi_hash_arr,
         local_lk = rows(zs_pp, lk0, lk1)
         next_lk = rows(zs_pp_next, lk0, lk1)
 
-    vanishing_values = vanishing.eval_vanishing_poly(
+    # "rest" terms only: z1 + partial-product + lookup terms; the gate
+    # constraint terms come from the per-gate split programs below (bounded
+    # XLA graphs: the monolithic all-gates graph compiled for ~50 min / 22 GB
+    # at recursion-config gate sets on 1-core XLA:CPU).
+    rest_values = vanishing.eval_vanishing_poly(
         A, common, shifted_xs, l_0, vars,
         rows(zs_pp, z0, z1), rows(zs_pp_next, z0, z1),
         rows(zs_pp, pp0, pp1), rows(cs, s0, s1), betas, gammas, alphas,
         deltas=deltas, local_lookup_zs=local_lk, next_lookup_zs=next_lk,
-        lut_re_evals=lut_re)
+        lut_re_evals=lut_re, include_gate_constraints=False)
+    return _stack_ch(rest_values)
 
+
+def _stack_ch(values):
+    return tree_map(lambda *xs: jnp.stack(xs, axis=0), *values)
+
+
+def _scalar_pow(F, base, e: int):
+    """base^e for a traced scalar and static exponent (square-and-multiply;
+    e is small — the alpha offset)."""
+    result = None
+    while e:
+        if e & 1:
+            result = base if result is None else F.mul(result, base)
+        e >>= 1
+        if e:
+            base = F.mul(base, base)
+    return result if result is not None else F.ones(())
+
+
+def _gate_contrib_body(F, common, gi, offset, cs_lde, wires_lde,
+                       pi_hash_arr, alphas_arr, step, m):
+    """One gate type's alpha-combined, filtered constraint contribution over
+    the quotient domain: filt_g * alpha^offset * sum_k alpha^k c_{g,k}
+    per challenge.  Exact mod-p algebra makes the split bit-identical to the
+    monolithic evaluation; each program is bounded by ONE gate's constraint
+    size and its compilation is shared by every circuit using the gate with
+    the same selector layout."""
+    from ..gates.base import compute_filter, eval_filtered
+
+    config = common.config
+
+    def strided(lde):
+        return tree_map(lambda a: a[:, ::step], lde)
+
+    def rows(batch, lo, hi):
+        return [tree_map(lambda a, j=j: a[j], batch) for j in range(lo, hi)]
+
+    cs = strided(cs_lde)
+    wires = strided(wires_lde)
+    c0, c1 = common.constants_range()
+    A = DeviceBaseAlgebra(F, m)
+    vars = EvaluationVars(
+        rows(cs, c0, c1), rows(wires, 0, config.num_wires),
+        [tree_map(lambda a, i=i: a[i], pi_hash_arr)
+         for i in range(common.spec.num_hash_out_elts)])
+    vars.stacked_wires = wires
+
+    gate = common.gates[gi]
+    sel_idx = common.selectors_info.selector_indices[gi]
+    group = common.selectors_info.groups[sel_idx]
+    ns = common.selectors_info.num_selectors
+    dev = getattr(gate, "eval_unfiltered_device", None)
+    if dev is not None:
+        filt = compute_filter(A, gi, group, vars.local_constants[sel_idx],
+                              ns > 1)
+        cs_list = [A.mul(filt, c) for c in dev(F, wires, vars)]
+    else:
+        cs_list = eval_filtered(A, gate, vars, gi, sel_idx, group, ns,
+                                common.num_lookup_selectors)
+
+    nch = config.num_challenges
+    out = []
+    for i in range(nch):
+        alpha = tree_map(lambda a: a[i], alphas_arr)
+        comb = vanishing.reduce_with_powers(A, cs_list, alpha)
+        out.append(F.mul(comb, _scalar_pow(F, alpha, offset)))
+    return _stack_ch(out)
+
+
+def _quotient_finish_body(F, common, zh_inv, rest_stack, *contribs):
+    """total = rest + sum(gate contributions); divide by Z_H; coset-IFFT;
+    split into degree-n chunks (reference prover.rs:909-925)."""
+    qdf = common.quotient_degree_factor
+    n = common.degree
+    total = rest_stack
+    for c in contribs:
+        total = F.add(total, c)
+    nch = common.config.num_challenges
     chunks = []
-    for v in vanishing_values:
+    for i in range(nch):
+        v = tree_map(lambda a: a[i], total)
         q_values = F.mul(v, zh_inv)
         q_coeffs = fftm.coset_ifft(F, q_values, common.spec.coset_shift)
         qd = common.quotient_degree
@@ -365,18 +449,39 @@ def _quotient_body(F, common, cs_lde, wires_lde, zs_pp_lde, pi_hash_arr,
     return tree_map(lambda *cs_: jnp.concatenate(cs_, axis=0), *chunks)
 
 
-# common is unhashable per-instance; cache jitted programs per common id
+# common is unhashable per-instance; cache jitted programs per (common id,
+# stage) — the per-gate programs additionally dedupe on the gate identity,
+# so circuits sharing gate types share compilations
 _QUOTIENT_JITS = {}
 
 
-def _quotient_jit(F, common, *args):
+def _quotient_split_fns(F, common):
     key = id(common)
-    fn = _QUOTIENT_JITS.get(key)
-    if fn is None:
-        fn = jax.jit(_partial(_quotient_body, F, common),
-                     static_argnums=(12, 13, 14))
-        _QUOTIENT_JITS[key] = fn
-    return fn(*args)
+    fns = _QUOTIENT_JITS.get(key)
+    if fns is None:
+        rest = jax.jit(_partial(_quotient_body, F, common),
+                       static_argnums=(11, 12, 13))
+        offset = vanishing.count_rest_terms(common)
+        gate_fns = {}
+        for gi in range(len(common.gates)):
+            gate_fns[gi] = jax.jit(
+                _partial(_gate_contrib_body, F, common, gi, offset),
+                static_argnums=(4, 5))
+        finish = jax.jit(_partial(_quotient_finish_body, F, common))
+        fns = (rest, gate_fns, finish)
+        _QUOTIENT_JITS[key] = fns
+    return fns
+
+
+def _quotient_split(F, common, cs, wires, zs_pp, pi, betas, gammas, alphas,
+                    deltas, lut_re, shifted_xs, l_0, zh_inv, step,
+                    next_step, m):
+    rest, gate_fns, finish = _quotient_split_fns(F, common)
+    rest_stack = rest(cs, wires, zs_pp, pi, betas, gammas, alphas, deltas,
+                      lut_re, shifted_xs, l_0, step, next_step, m)
+    contribs = [gate_fns[gi](cs, wires, pi, alphas, step, m)
+                for gi in range(len(common.gates))]
+    return finish(zh_inv, rest_stack, *contribs)
 
 
 def _kernels(prover_data, common, F, hasher) -> ProverKernels:

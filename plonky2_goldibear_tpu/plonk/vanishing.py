@@ -313,7 +313,8 @@ def eval_vanishing_poly(A, common, x, l_0_x, vars: EvaluationVars,
                         alphas: Sequence[int], deltas: Sequence = (),
                         local_lookup_zs: Sequence = (),
                         next_lookup_zs: Sequence = (),
-                        lut_re_evals: Sequence = ()) -> List:
+                        lut_re_evals: Sequence = (),
+                        include_gate_constraints: bool = True) -> List:
     """Returns one combined value per alpha challenge
     (reference vanishing_poly.rs:57-180).
 
@@ -328,7 +329,13 @@ def eval_vanishing_poly(A, common, x, l_0_x, vars: EvaluationVars,
     num_routed = common.config.num_routed_wires
     has_lookup = common.num_lookup_polys != 0
 
-    constraint_terms = evaluate_gate_constraints(A, common, vars)
+    # gate terms sit at the END of the alpha-combined list, so the split
+    # prover (one jitted program per gate type, prover.py) can compute this
+    # "rest" prefix separately and add alpha^offset-scaled gate
+    # contributions afterwards — field algebra is exact, so the
+    # re-association is bit-identical
+    constraint_terms = (evaluate_gate_constraints(A, common, vars)
+                        if include_gate_constraints else [])
 
     if has_lookup:
         ns = common.selectors_info.num_selectors
@@ -394,3 +401,17 @@ def eval_l_0_host(A, n: int, x, x_pow_n):
     z = A.sub(x_pow_n, one)
     denom = A.mul_base_const(A.sub(x, one), n % spec.p)
     return host.ext_mul(spec, z, host.ext_inv(spec, denom))
+
+
+def count_rest_terms(common) -> int:
+    """Number of alpha-combined vanishing terms BEFORE the gate-constraint
+    block (z1 + partial-product + lookup terms) — the alpha offset used by
+    the split prover (prover.py) to scale per-gate contributions."""
+    nch = common.config.num_challenges
+    n = nch * (1 + (common.num_partial_products + 1))
+    if common.num_lookup_polys:
+        from ..gates.selectors import LOOKUP_SEL_START_END
+        per = (4 + (common.num_lookup_selectors - LOOKUP_SEL_START_END)
+               + 2 * (common.num_lookup_polys - 1))
+        n += nch * per
+    return n
