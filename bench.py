@@ -22,14 +22,30 @@ import numpy as np
 
 
 def _bench(fn, argsets, iters):
-    import jax
+    """NB: on the remote-TPU tunnel, block_until_ready can return before the
+    work is done and repeated (executable, args) dispatches may be elided;
+    force completion by fetching a slice of EVERY iteration's output, and
+    measure marginal cost (full minus half run) to cancel fixed overheads."""
     out = fn(*argsets[0])
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = fn(*argsets[i % len(argsets)])
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    _fetch(out)
+
+    def run(k):
+        outs = []
+        t0 = time.perf_counter()
+        for i in range(k):
+            outs.append(fn(*argsets[i % len(argsets)]))
+        for o in outs:
+            _fetch(o)
+        return time.perf_counter() - t0
+
+    t_half = run(iters // 2)
+    t_full = run(iters)
+    return (t_full - t_half) / (iters - iters // 2)
+
+
+def _fetch(out):
+    for leaf in out if isinstance(out, (tuple, list)) else [out]:
+        np.asarray(leaf[:1])
 
 
 def bench_poseidon_merkle():

@@ -47,7 +47,9 @@ from . import poseidon_gl as _pk
 
 LANES = 128
 LANE_STAGES = 7                  # h = 1..64 handled by lane rolls
-FUSE_LIMIT = 1 << 18             # max stacked elements per grid step
+FUSE_LIMIT = 1 << 16             # max stacked elements per grid step
+# (Mosaic compile time grows superlinearly with the fused size: 2^16 ~ 14 s,
+# 2^18 -> minutes; larger transforms run as a batched four-step instead)
 
 
 @functools.lru_cache(maxsize=32)
@@ -228,22 +230,23 @@ def _four_step_twiddles(n_log: int, r: int, c: int) -> GL:
 
 
 def _fft_four_step(x: GL, n_log: int) -> GL:
-    """N = R*C: column NTTs -> twiddle -> row NTTs -> index transpose.
+    """N = R*C: column NTTs -> twiddle -> row NTTs -> index transpose,
+    batched over leading polys (the prover's big LDEs).
 
     X[k2*R + k1] = sum_i2 w_C^(i2 k2) [w_N^(i2 k1) sum_i1 A[i1,i2] w_R^(i1 k1)]
     """
     b_count, n = x.lo.shape
-    assert b_count == 1, "four-step path is single-poly (bench / huge LDEs)"
     r_log, c_log = _four_step_split(n_log)
     r, c = 1 << r_log, 1 << c_log
-    A = GL(x.lo.reshape(r, c), x.hi.reshape(r, c))
+    A = GL(x.lo.reshape(b_count, r, c), x.hi.reshape(b_count, r, c))
     # column NTTs: transpose so columns become the transform axis
-    At = GL(A.lo.T, A.hi.T)                       # (c, r)
-    Bt = fft(GL(At.lo, At.hi))                    # NTT along r per column
+    At = GL(A.lo.transpose(0, 2, 1), A.hi.transpose(0, 2, 1))  # (B, c, r)
+    Bt = fft(At)                                  # NTT along r per column
     T = _four_step_twiddles(n_log, r, c)          # (r, c)
-    Bt = gl.mul(Bt, GL(T.lo.T, T.hi.T))           # (c, r) * T^T
-    B = GL(Bt.lo.T, Bt.hi.T)                      # (r, c), rows = k1
-    D = fft(B)                                    # row NTTs along c
+    Bt = gl.mul(Bt, GL(T.lo.T[None], T.hi.T[None]))
+    Bv = GL(Bt.lo.transpose(0, 2, 1), Bt.hi.transpose(0, 2, 1))  # (B, r, c)
+    D = fft(Bv)                                   # row NTTs along c
     # X[k2*R + k1] = D[k1, k2] -> transpose -> flatten
-    out = GL(D.lo.T.reshape(1, n), D.hi.T.reshape(1, n))
+    out = GL(D.lo.transpose(0, 2, 1).reshape(b_count, n),
+             D.hi.transpose(0, 2, 1).reshape(b_count, n))
     return out

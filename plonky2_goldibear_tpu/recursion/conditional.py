@@ -270,3 +270,27 @@ def check_cyclic_proof_verifier_data(proof_with_pis, verifier_only, common):
         "cyclic vk digest mismatch"
     assert cap == [list(h) for h in verifier_only.constants_sigmas_cap], \
         "cyclic vk cap mismatch"
+
+
+def common_data_for_recursion(config, spec=None, min_degree_bits: int = 12):
+    """Self-consistent CommonCircuitData for cyclic recursion: build an
+    empty circuit, wrap it in a recursive verifier twice (the shape reaches
+    a fixed point), and pad to 2^min_degree_bits (reference
+    cyclic_recursion.rs test helper common_data_for_recursion)."""
+    from ..gates.basic_gates import NoopGate
+    from ..plonk.builder import CircuitBuilder
+
+    kwargs = {} if spec is None else {"spec": spec}
+    b = CircuitBuilder(config, **kwargs)
+    data = b.build()
+    for _ in range(2):
+        b = CircuitBuilder(config, **kwargs)
+        proof_t = rv.add_virtual_proof_with_pis(b, data.common)
+        vk_t = rv.add_virtual_verifier_data(
+            b, data.common.config.fri_config.cap_height)
+        rv.verify_proof(b, proof_t, vk_t, data.common)
+        if data.common.degree_bits >= min_degree_bits:
+            while b.num_gates() < (1 << min_degree_bits) - 100:
+                b.add_gate(NoopGate(), [])
+        data = b.build()
+    return data.common
