@@ -8,6 +8,14 @@ same JSON object under "extra":
   - ntt_2e24_elems_per_s: single-poly 2^24-point NTT (ops/ntt.py four-step);
     the reference bench analog is `ffts`/`lde` (plonky2/benches/ffts.rs)
 
+Measurement discipline: the TPU sits behind a network tunnel where host-side
+iteration loops measure RPC latency, not device work (block_until_ready can
+return early; repeated identical dispatches get elided; marginal host timing
+even goes negative).  Every metric therefore chains k iterations INSIDE one
+jitted program via lax.fori_loop with a data dependency between iterations,
+and times one dispatch+fetch for k and 2k: marginal = (t_2k - t_k) / k is
+pure device throughput, with compile/transfer/RPC fixed costs cancelled.
+
 vs_baseline: the reference publishes no numbers (BASELINE.md); we compare
 against an estimated 64-core CPU figure of 1.0e8 Poseidon permutations/s
 (~1.56M perms/s/core scalar Rust), documented here so the assumption is
@@ -21,35 +29,37 @@ import time
 import numpy as np
 
 
-def _bench(fn, argsets, iters):
-    """NB: on the remote-TPU tunnel, block_until_ready can return before the
-    work is done and repeated (executable, args) dispatches may be elided;
-    force completion by fetching a slice of EVERY iteration's output, and
-    measure marginal cost (full minus half run) to cancel fixed overheads."""
-    out = fn(*argsets[0])
-    _fetch(out)
-
-    def run(k):
-        outs = []
-        t0 = time.perf_counter()
-        for i in range(k):
-            outs.append(fn(*argsets[i % len(argsets)]))
-        for o in outs:
-            _fetch(o)
-        return time.perf_counter() - t0
-
-    t_half = run(iters // 2)
-    t_full = run(iters)
-    return (t_full - t_half) / (iters - iters // 2)
-
-
-def _fetch(out):
+def _time_dispatch(fn, args, k):
+    """Seconds for one dispatch of fn(*args, k) incl. a real output fetch."""
+    t0 = time.perf_counter()
+    out = fn(*args, k)
     for leaf in out if isinstance(out, (tuple, list)) else [out]:
-        np.asarray(leaf[:1])
+        np.asarray(leaf)
+    return time.perf_counter() - t0
+
+
+def _marginal(fn, args, k):
+    """Per-iteration device time via chained on-device iterations.
+
+    fn(*args, j) must run j data-dependent iterations in ONE program.
+    Warm both program shapes first (k and 2k are distinct static args ->
+    distinct executables), then take the k-vs-2k marginal, best of 2.
+    """
+    _time_dispatch(fn, args, k)       # compile + warm
+    _time_dispatch(fn, args, 2 * k)
+    best = float("inf")
+    for _ in range(2):
+        t1 = _time_dispatch(fn, args, k)
+        t2 = _time_dispatch(fn, args, 2 * k)
+        best = min(best, (t2 - t1) / k)
+    return best
 
 
 def bench_poseidon_merkle():
+    import functools
+
     import jax
+    import jax.numpy as jnp
     from plonky2_goldibear_tpu.field import gl
     from plonky2_goldibear_tpu.hash import merkle
 
@@ -57,15 +67,22 @@ def bench_poseidon_merkle():
     leaf_len = 135
     cap_height = 4
     rng = np.random.default_rng(0)
-    # distinct buffers per call: the runtime elides repeated dispatches of
-    # identical (executable, args) pairs, which would inflate the numbers
-    leaf_sets = [gl.from_ints(rng.integers(0, gl.P, size=(n_leaves, leaf_len),
-                                           dtype=np.uint64))
-                 for _ in range(4)]
+    leaves = gl.from_ints(rng.integers(0, gl.P, size=(n_leaves, leaf_len),
+                                       dtype=np.uint64))
     num_layers = 13 - cap_height
 
-    @jax.jit
-    def build(lo, hi):
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def build_k(lo, hi, k):
+        def step(_, carry):
+            clo, chi = carry
+            levels = merkle.build_levels(gl.GL(clo, chi), num_layers)
+            cap = levels[-1]
+            # data dependency: fold one cap word back into the leaves (low
+            # bit only — keeps values < p, cost is one broadcast XOR)
+            clo = clo ^ (cap.lo[0, 0] & 1)
+            return (clo, chi)
+
+        lo, hi = jax.lax.fori_loop(0, k, step, (lo, hi))
         levels = merkle.build_levels(gl.GL(lo, hi), num_layers)
         cap = levels[-1]
         return cap.lo, cap.hi
@@ -73,25 +90,36 @@ def bench_poseidon_merkle():
     perms_per_leaf = -(-leaf_len // 8)
     internal = n_leaves - (1 << cap_height)
     total_perms = n_leaves * perms_per_leaf + internal
-    dt = _bench(build, [(ls.lo, ls.hi) for ls in leaf_sets], iters=20)
+    dt = _marginal(build_k, (leaves.lo, leaves.hi), k=8)
     return total_perms / dt
 
 
 def bench_ntt_2e24():
+    import functools
+
     import jax
-    from plonky2_goldibear_tpu.field import gl
-    from plonky2_goldibear_tpu.ops import ntt
+    from plonky2_goldibear_tpu.field import gl, fft as fftm
 
     n = 1 << 24
     rng = np.random.default_rng(1)
-    xs = [gl.from_ints(rng.integers(0, gl.P, size=(1, n), dtype=np.uint64))
-          for _ in range(2)]
-    f = jax.jit(lambda lo, hi: tuple(ntt.fft(gl.GL(lo, hi))))
-    dt = _bench(f, [(x.lo, x.hi) for x in xs], iters=6)
+    x = gl.from_ints(rng.integers(0, gl.P, size=(1, n), dtype=np.uint64))
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def ntt_k(lo, hi, k):
+        def step(_, carry):
+            out = fftm.fft(gl, gl.GL(*carry))
+            return (out.lo, out.hi)
+
+        lo, hi = jax.lax.fori_loop(0, k, step, (lo, hi))
+        return lo, hi
+
+    dt = _marginal(ntt_k, (x.lo, x.hi), k=2)
     return n / dt
 
 
 def main():
+    import jax
+    backend = jax.default_backend()
     perms_per_s = bench_poseidon_merkle()
     ntt_elems_per_s = bench_ntt_2e24()
     baseline_perms = 1.0e8   # estimated 64-core scalar-Rust Poseidon perms/s
@@ -104,6 +132,7 @@ def main():
         "extra": {
             "ntt_2e24_elems_per_s": round(ntt_elems_per_s, 1),
             "ntt_vs_baseline": round(ntt_elems_per_s / baseline_ntt, 3),
+            "backend": backend,
         },
     }))
 

@@ -216,14 +216,18 @@ def _four_step_twiddles(n_log: int, r: int, c: int) -> GL:
     """T[k1, i2] = w_N^(k1*i2) as GL (r, c), built on device by a cumprod."""
     key = ("gl", n_log)
     if key not in _TWIDDLE_MAT_CACHE:
-        w = host.GOLDILOCKS.two_adic_generator(n_log)
-        pw = jfft.powers(gl, w, c)                      # (c,)
-        tiled = GL(jnp.broadcast_to(pw.lo, (r - 1, c)),
-                   jnp.broadcast_to(pw.hi, (r - 1, c)))
-        body = gl.cumprod(tiled, axis=0)                # row k = pw^(k+1)
-        ones = gl.ones((1, c))
-        T = GL(jnp.concatenate([ones.lo, body.lo], axis=0),
-               jnp.concatenate([ones.hi, body.hi], axis=0))
+        # ensure_compile_time_eval: this may be hit first from INSIDE a jit
+        # trace (the prover's fused programs); without it the cache would
+        # capture tracers and poison every later trace (UnexpectedTracer).
+        with jax.ensure_compile_time_eval():
+            w = host.GOLDILOCKS.two_adic_generator(n_log)
+            pw = jfft.powers(gl, w, c)                      # (c,)
+            tiled = GL(jnp.broadcast_to(pw.lo, (r - 1, c)),
+                       jnp.broadcast_to(pw.hi, (r - 1, c)))
+            body = gl.cumprod(tiled, axis=0)                # row k = pw^(k+1)
+            ones = gl.ones((1, c))
+            T = GL(jnp.concatenate([ones.lo, body.lo], axis=0),
+                   jnp.concatenate([ones.hi, body.hi], axis=0))
         _TWIDDLE_MAT_CACHE[key] = jax.tree_util.tree_map(
             jax.block_until_ready, T)
     return _TWIDDLE_MAT_CACHE[key]

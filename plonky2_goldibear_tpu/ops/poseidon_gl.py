@@ -47,16 +47,19 @@ N_PARTIAL = C.N_PARTIAL_ROUNDS            # 22
 N_ROUNDS = 2 * HALF_FULL + N_PARTIAL      # 30
 
 # Round constants as (30, 12, 1) u32 limb planes (broadcast against (12, B)).
+# Kept as NUMPY at module level: this module is imported lazily from inside
+# jit traces (the hash-layer dispatch), and a module-level jnp.asarray would
+# then be created as an inner-trace constant and leak as a stale tracer into
+# every later trace.  jnp conversion happens per call in _consts().
 _RC = np.array(C.ALL_ROUND_CONSTANTS, dtype=np.uint64).reshape(N_ROUNDS, WIDTH, 1)
-_RC_LO = jnp.asarray((_RC & 0xFFFFFFFF).astype(np.uint32))
-_RC_HI = jnp.asarray((_RC >> 32).astype(np.uint32))
+_RC_LO_NP = (_RC & 0xFFFFFFFF).astype(np.uint32)
+_RC_HI_NP = (_RC >> 32).astype(np.uint32)
 
 # MDS circulant as a dense (12, 12) f32 matrix, diagonal handled separately.
 _CIRC = np.zeros((WIDTH, WIDTH), dtype=np.float32)
 for _r in range(WIDTH):
     for _j in range(WIDTH):
         _CIRC[_r, _j] = C.MDS_MATRIX_CIRC[(_j - _r) % WIDTH]
-_CIRC_F32 = jnp.asarray(_CIRC)
 _DIAG0 = int(C.MDS_MATRIX_DIAG[0])  # 8; all other diagonal entries are 0
 assert all(d == 0 for d in C.MDS_MATRIX_DIAG[1:])
 
@@ -260,7 +263,8 @@ def _const_specs():
 
 
 def _consts():
-    return (_RC_LO, _RC_HI, _CIRC_F32)
+    return (jnp.asarray(_RC_LO_NP), jnp.asarray(_RC_HI_NP),
+            jnp.asarray(_CIRC))
 
 
 def _permute_kernel(rc_lo_ref, rc_hi_ref, circ_ref, lo_ref, hi_ref,
