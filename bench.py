@@ -43,16 +43,18 @@ def _marginal(fn, args, k):
 
     fn(*args, j) must run j data-dependent iterations in ONE program.
     Warm both program shapes first (k and 2k are distinct static args ->
-    distinct executables), then take the k-vs-2k marginal, best of 2.
+    distinct executables), then take the k-vs-2k marginal.  The chip behind
+    the tunnel is time-shared, so single measurements can be off by several
+    x in either direction: take min-of-3 for each dispatch time (min is the
+    contention-free estimate) and require the marginal to be positive.
     """
     _time_dispatch(fn, args, k)       # compile + warm
     _time_dispatch(fn, args, 2 * k)
-    best = float("inf")
-    for _ in range(2):
-        t1 = _time_dispatch(fn, args, k)
-        t2 = _time_dispatch(fn, args, 2 * k)
-        best = min(best, (t2 - t1) / k)
-    return best
+    t1 = min(_time_dispatch(fn, args, k) for _ in range(3))
+    t2 = min(_time_dispatch(fn, args, 2 * k) for _ in range(3))
+    if t2 <= t1:                      # contention artifact; fall back to
+        return t2 / (2 * k)           # amortized full-dispatch time
+    return (t2 - t1) / k
 
 
 def bench_poseidon_merkle():
@@ -90,7 +92,7 @@ def bench_poseidon_merkle():
     perms_per_leaf = -(-leaf_len // 8)
     internal = n_leaves - (1 << cap_height)
     total_perms = n_leaves * perms_per_leaf + internal
-    dt = _marginal(build_k, (leaves.lo, leaves.hi), k=8)
+    dt = _marginal(build_k, (leaves.lo, leaves.hi), k=32)
     return total_perms / dt
 
 
@@ -113,27 +115,83 @@ def bench_ntt_2e24():
         lo, hi = jax.lax.fori_loop(0, k, step, (lo, hi))
         return lo, hi
 
-    dt = _marginal(ntt_k, (x.lo, x.hi), k=2)
+    dt = _marginal(ntt_k, (x.lo, x.hi), k=4)
     return n / dt
 
 
+def bench_prove_2e12():
+    """Full on-TPU prove of a 2^12-row GL circuit: wall-clock proofs/s after
+    warmup (compile cache hot, same witness shapes).  The analog of the
+    reference's bench_recursion inner-proof stage
+    (plonky2/benches/../examples/bench_recursion.rs)."""
+    import time as _t
+
+    from plonky2_goldibear_tpu.iop.generator import seed_randomness
+    from plonky2_goldibear_tpu.iop.witness import PartialWitness
+    from plonky2_goldibear_tpu.plonk.builder import CircuitBuilder
+    from plonky2_goldibear_tpu.plonk.config import CircuitConfig
+    from plonky2_goldibear_tpu.plonk.verifier import verify
+
+    seed_randomness(42)
+    builder = CircuitBuilder(CircuitConfig.standard_recursion_config_gl())
+    x = builder.add_virtual_target()
+    builder.register_public_input(x)
+    cur = x
+    for _ in range((1 << 12) * 20):   # ~20 ops per ArithmeticGate row
+        cur = builder.arithmetic(1, 1, cur, cur, cur)
+    builder.register_public_input(cur)
+    data = builder.build()
+
+    def one_prove(seed):
+        pw = PartialWitness()
+        pw.set_target(x, 3 + seed)
+        return data.prove(pw)
+
+    proof = one_prove(0)              # compile + warm
+    verify(proof, data.verifier_only, data.common)
+    times = []
+    for i in range(3):
+        t0 = _t.perf_counter()
+        one_prove(i + 1)
+        times.append(_t.perf_counter() - t0)
+    return 1.0 / min(times), data.common.degree_bits
+
+
 def main():
+    import signal
+
     import jax
     backend = jax.default_backend()
     perms_per_s = bench_poseidon_merkle()
     ntt_elems_per_s = bench_ntt_2e24()
+    try:
+        # hard budget: a fresh-circuit compile on a cold cache can take many
+        # minutes; never let the prove stage starve the headline metrics
+        signal.signal(signal.SIGALRM,
+                      lambda *_: (_ for _ in ()).throw(TimeoutError()))
+        signal.alarm(1500)
+        proofs_per_s, prove_bits = bench_prove_2e12()
+    except BaseException:       # keep the headline alive if the prove path
+        proofs_per_s, prove_bits = None, None   # breaks on the tunnel
+    finally:
+        signal.alarm(0)
     baseline_perms = 1.0e8   # estimated 64-core scalar-Rust Poseidon perms/s
     baseline_ntt = 2.0e8     # estimated 64-core 2^24 NTT elems/s
+    baseline_proofs = 2.0    # estimated 64-core proofs/s at 2^12 rows
+    extra = {
+        "ntt_2e24_elems_per_s": round(ntt_elems_per_s, 1),
+        "ntt_vs_baseline": round(ntt_elems_per_s / baseline_ntt, 3),
+        "backend": backend,
+    }
+    if proofs_per_s is not None:
+        extra["proofs_per_s_2e%d" % prove_bits] = round(proofs_per_s, 4)
+        extra["proofs_vs_baseline"] = round(proofs_per_s / baseline_proofs, 3)
     print(json.dumps({
         "metric": "poseidon_gl_perms_per_s",
         "value": round(perms_per_s, 1),
         "unit": "perms/s",
         "vs_baseline": round(perms_per_s / baseline_perms, 3),
-        "extra": {
-            "ntt_2e24_elems_per_s": round(ntt_elems_per_s, 1),
-            "ntt_vs_baseline": round(ntt_elems_per_s / baseline_ntt, 3),
-            "backend": backend,
-        },
+        "extra": extra,
     }))
 
 

@@ -93,6 +93,17 @@ def commit_values_salted(F, values, salt, rate_bits: int, cap_height: int,
 
 
 def _random_salt(F, m: int):
+    from ..iop import generator as gen
+
+    if gen._NONRANDOM_COUNTER is not None:
+        # deterministic mode: draw per poly then per element, mirroring the
+        # reference's salt_polynomials -> PolynomialValues::rand order
+        # (fri/oracle.rs:139-149)
+        p = F.SPEC.p
+        vals = np.array(
+            [[gen.rand_field_element(p) for _ in range(m)]
+             for _ in range(SALT_SIZE)], dtype=np.uint64)
+        return F.from_ints(vals)
     rng = np.random.default_rng()
     return F.from_ints(rng.integers(0, F.SPEC.p, size=(SALT_SIZE, m),
                                     dtype=np.uint64))

@@ -19,6 +19,41 @@ from .witness import PartialWitness, PartitionWitness
 # field/src/types.rs:40-77): tests may seed this for reproducible proofs.
 _RNG = np.random.default_rng()
 
+# Bit-exact mirror of the reference's `disable-randomness` mode: a counter
+# RNG (NonRandomRng, types.rs:49-77: next_u64 returns 2, 3, 4, ...) driven
+# through rand-0.8.4's UniformInt::sample_single, which is what
+# `rng.gen_range(0..p)` in `Sample::sample` (types.rs:114-131) executes.
+# With both sides enabled, every rand_field_element call produces the SAME
+# value sequence as the reference prover — the prerequisite for
+# byte-identical proofs.
+_NONRANDOM_COUNTER: Optional[int] = None
+
+
+def set_nonrandom(enable: bool = True):
+    """Enable/disable the deterministic counter RNG (and reset it to 1,
+    mirroring NonRandomRng::reset)."""
+    global _NONRANDOM_COUNTER
+    _NONRANDOM_COUNTER = 1 if enable else None
+
+
+def _nonrandom_next_u64() -> int:
+    global _NONRANDOM_COUNTER
+    _NONRANDOM_COUNTER += 1
+    return _NONRANDOM_COUNTER & 0xFFFFFFFFFFFFFFFF
+
+
+def _uniform_sample_single(p: int, bits: int, next_fn) -> int:
+    """rand 0.8.4 UniformInt<uN>::sample_single for gen_range(0..p)."""
+    mask = (1 << bits) - 1
+    lz = bits - p.bit_length()
+    zone = ((p << lz) - 1) & mask
+    while True:
+        v = next_fn() & mask
+        prod = v * p
+        hi, lo = prod >> bits, prod & mask
+        if lo <= zone:
+            return hi
+
 
 def seed_randomness(seed: Optional[int]):
     global _RNG
@@ -26,6 +61,12 @@ def seed_randomness(seed: Optional[int]):
 
 
 def rand_field_element(p: int) -> int:
+    if _NONRANDOM_COUNTER is not None:
+        if p > 0xFFFFFFFF:          # Goldilocks: sampled as u64
+            return _uniform_sample_single(p, 64, _nonrandom_next_u64)
+        # BabyBear: sampled as u32; NonRandomRng::next_u32 truncates next_u64
+        return _uniform_sample_single(
+            p, 32, lambda: _nonrandom_next_u64() & 0xFFFFFFFF)
     # rejection-free: draw 128 bits, reduce (bias < 2^-64)
     hi = int(_RNG.integers(0, 1 << 62, dtype=np.int64))
     lo = int(_RNG.integers(0, 1 << 62, dtype=np.int64))

@@ -109,3 +109,80 @@ def sharded_commit(F, coeffs, rate_bits: int, cap_height: int, mesh: Mesh,
         check_vma=False,
     )
     return jax.jit(fn)(coeffs)
+
+
+# ---------------------------------------------------------------------------
+# GSPMD-sharded prover phases beyond the commit (SURVEY §5.8 / VERDICT r1 #7)
+#
+# The quotient evaluation and the FRI fold are pure jitted programs over
+# (polys, points) / (points,) arrays; sharding the POINT axis over the mesh
+# and letting GSPMD insert the collectives (the roll in zs_pp_next becomes a
+# collective-permute halo exchange; reductions over the poly axis stay
+# local) is the idiomatic TPU scaling story — no hand-written per-shard
+# bodies needed.  These helpers place the operands with a NamedSharding and
+# invoke the SAME compiled phase programs the single-chip prover uses, so
+# sharded and unsharded results are bit-identical by construction.
+# ---------------------------------------------------------------------------
+
+
+def points_sharding(mesh: Mesh):
+    """NamedSharding that splits the trailing (points) axis over "x"."""
+    return NamedSharding(mesh, P(None, "x"))
+
+
+def shard_lde(lde, mesh: Mesh):
+    """Place a (polys, m) LDE pytree with the point axis sharded."""
+    s = points_sharding(mesh)
+    return tree_map(lambda a: jax.device_put(a, s), lde)
+
+
+def sharded_quotient(kern, ldes, args, mesh: Mesh):
+    """Run a ProverKernels.quotient_fn with point-sharded oracle LDEs.
+
+    kern: plonk.prover.ProverKernels;  ldes: (cs_lde, wires_lde, zs_pp_lde);
+    args: the remaining quotient_fn arguments (pi, betas, gammas, alphas,
+    deltas, lut_re).  Returns the quotient chunk batch (replicated layout
+    decided by GSPMD).
+    """
+    cs, wires, zs_pp = (shard_lde(x, mesh) for x in ldes)
+    return kern.quotient_fn(cs, wires, zs_pp, *args)
+
+
+def sharded_fold_round(F, arity: int, beta_pows, shift: int, coeffs,
+                       mesh: Mesh):
+    """One FRI fold round with the coefficient axis sharded over "x".
+
+    The (m,) -> (m/arity, arity) reshape keeps shard boundaries aligned as
+    long as (m / n_dev) % arity == 0; GSPMD then runs the beta reduction
+    locally and the coset FFT with its own collectives.
+    """
+    from ..fri import prover as fri_prover
+
+    s = NamedSharding(mesh, P("x"))
+    coeffs = tuple(tree_map(lambda a: jax.device_put(a, s), c)
+                   for c in coeffs)
+    return fri_prover._fold_round_jit(F, arity, beta_pows, shift, coeffs)
+
+
+def dp_commit_batch(F, coeffs_batch, rate_bits: int, cap_height: int,
+                    mesh: Mesh, shift=None, hasher=poseidon_gl):
+    """Data-parallel batch-of-proofs commit: (B, polys, n) with B sharded.
+
+    The cheap pod-scale win: B independent circuits' wire batches, one per
+    device, each running the full single-chip commit locally (vmap of the
+    fused commit program; no cross-device traffic at all).  Returns the
+    (B, 2^cap_height, hash_width) cap batch.
+    """
+    from ..fri import oracle
+
+    if shift is None:
+        shift = F.SPEC.coset_shift
+    s = NamedSharding(mesh, P("x", None, None))
+    coeffs_batch = tree_map(lambda a: jax.device_put(a, s), coeffs_batch)
+
+    def one(coeffs):
+        _, _, levels = oracle.commit_coeffs(F, coeffs, rate_bits,
+                                            cap_height, shift, hasher)
+        return levels[-1]
+
+    return jax.jit(jax.vmap(one))(coeffs_batch)

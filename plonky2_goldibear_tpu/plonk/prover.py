@@ -421,11 +421,17 @@ def _gate_contrib_body(F, common, gi, offset, cs_lde, wires_lde,
                                 common.num_lookup_selectors)
 
     nch = config.num_challenges
+    npts = fftm.tshape(wires)[-1]
     out = []
     for i in range(nch):
         alpha = tree_map(lambda a: a[i], alphas_arr)
         comb = vanishing.reduce_with_powers(A, cs_list, alpha)
-        out.append(F.mul(comb, _scalar_pow(F, alpha, offset)))
+        comb = F.mul(comb, _scalar_pow(F, alpha, offset))
+        # a gate whose constraints are all constant-valued (e.g. zero
+        # constraints) yields a scalar; broadcast so the finish-stage
+        # accumulation always sees (nch, npoints)
+        comb = tree_map(lambda a: jnp.broadcast_to(a, (npts,)), comb)
+        out.append(comb)
     return _stack_ch(out)
 
 

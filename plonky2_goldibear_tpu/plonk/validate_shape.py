@@ -90,8 +90,19 @@ def validate_fri_proof_shape(fri_proof, common) -> None:
         init = qr.initial_trees_proof.evals_proofs
         _check(len(init) == 4, "initial tree proof count")
         codeword_bits = lde_bits
-        for ep in init:
+        # leaf width per oracle (reference fri/validate_shape.rs: salt_size
+        # = 4 on blinded oracles, fri/oracle.rs:25)
+        salt = 4 if common.config.zero_knowledge else 0
+        leaf_lens = [
+            common.num_constants + common.config.num_routed_wires,
+            common.config.num_wires + salt,
+            common.num_zs_partial_products_polys()
+            + common.num_all_lookup_polys() + salt,
+            common.num_quotient_polys() + salt,
+        ]
+        for ep, leaf_len in zip(init, leaf_lens):
             _check(len(ep) == 2, "initial tree proof pair")
+            _check(len(ep[0]) == leaf_len, "initial tree evals length")
             _check(len(ep[1]) == lde_bits - cap_height,
                    "initial tree merkle path length")
         _check(len(qr.steps) == len(params.reduction_arity_bits),

@@ -104,6 +104,14 @@ def test_malformed_shape_rejected(fib_proof):
         verify(bad, data.verifier_only, data.common)
 
     bad = copy.deepcopy(proof)
-    del bad.proof.opening_proof.query_round_proofs[0].steps[0].evals[0]
-    with pytest.raises(VerificationError, match="step evals"):
-        verify(bad, data.verifier_only, data.common)
+    if bad.proof.opening_proof.query_round_proofs[0].steps:
+        del bad.proof.opening_proof.query_round_proofs[0].steps[0].evals[0]
+        with pytest.raises(VerificationError, match="step evals"):
+            verify(bad, data.verifier_only, data.common)
+    else:
+        # no fold rounds at this circuit size: tamper the initial-tree
+        # evals instead (same validate-shape family)
+        itp = bad.proof.opening_proof.query_round_proofs[0]
+        itp.initial_trees_proof.evals_proofs[0][0].pop()
+        with pytest.raises(VerificationError, match="evals"):
+            verify(bad, data.verifier_only, data.common)

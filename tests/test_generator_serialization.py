@@ -61,3 +61,25 @@ def test_user_generator_registration():
     blob = gser.write_generators([MyGen(7)])
     back = gser.read_generators(blob)
     assert type(back[0]).__name__ == "MyGen" and back[0].a == 7
+
+
+def test_nonrandom_mode_matches_reference_counter_rng():
+    """disable-randomness analog (reference field/src/types.rs:40-77 +
+    rand-0.8.4 UniformInt::sample_single): NonRandomRng yields
+    next_u64 = 2, 3, 4, ...; pushing that through gen_range(0..p) gives
+    1, 2, 3, ... for Goldilocks (no rejection at tiny counters) and a
+    REJECTED first draw for BabyBear (2p's low half exceeds the zone)."""
+    from plonky2_goldibear_tpu.field.host import BABYBEAR, GOLDILOCKS
+    from plonky2_goldibear_tpu.iop import generator as gen
+
+    gen.set_nonrandom(True)
+    try:
+        gl_vals = [gen.rand_field_element(GOLDILOCKS.p) for _ in range(5)]
+        assert gl_vals == [1, 2, 3, 4, 5]
+        gen.set_nonrandom(True)  # reset counter
+        bb_vals = [gen.rand_field_element(BABYBEAR.p) for _ in range(4)]
+        # v=2 rejected (lo=0xF0000002 > zone=0xF0000001), then v=3,4,5
+        # accept with hi = 1, 1, 2
+        assert bb_vals == [1, 1, 2, 2]
+    finally:
+        gen.set_nonrandom(False)

@@ -5,6 +5,22 @@ gates/poseidon2_risc0_babybear.rs)."""
 import random
 
 import numpy as np
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_cache():
+    """The width-24 R0 gate's quotient executable is large enough that
+    XLA:CPU's persistent-cache serialization segfaults while writing it
+    (executable.serialize() inside put_executable_and_time).  The
+    enable_compilation_cache flag is latched per backend, so the only
+    live-read knob that reliably skips the write (checked BEFORE
+    serialize) is the min-compile-time threshold."""
+    import jax
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    yield
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from plonky2_goldibear_tpu.field import bb
 from plonky2_goldibear_tpu.field.host import BABYBEAR
