@@ -99,9 +99,10 @@ def _compute_evaluation(b, x, x_index_within_coset_bits, arity_bits,
 
     perm = host.reverse_index_bits_perm(arity_bits)
     evals_nat = [evals[perm[i]] for i in range(arity)]
-    # g^(arity - rev_x) == (g^-1)^rev_x; our exp gadget is MSB-first, so
-    # passing LSB-first bits computes base^(bit-reversed index)
-    start = gd.exp_from_bits_const_base(b, g_inv, x_index_within_coset_bits)
+    # g^(arity - rev_x) == (g^-1)^rev_x: reversed LSB-first bits into the
+    # LSB-first exp gadget (reference fri/recursive_verifier.rs:49)
+    start = gd.exp_from_bits_const_base(
+        b, g_inv, list(reversed(x_index_within_coset_bits)))
     coset_start = b.mul(start, x)
 
     gate = CosetInterpolationGate(arity_bits,
@@ -126,8 +127,8 @@ def fri_combine_initial_circuit(b, instance, initial_proof, alpha,
         numerator = b.sub_extension(reduced_evals, red_open)
         denominator = b.sub_extension(subgroup_x_ext, batch.point)
         total = red.shift(total, b)
-        quotient = b.div_extension(numerator, denominator)
-        total = b.add_extension(total, quotient)
+        # fused x/y + z (reference fri/recursive_verifier.rs:248)
+        total = b.div_add_extension(numerator, denominator, total)
     return total
 
 
@@ -175,10 +176,11 @@ def _verifier_query_round(b, instance, challenges, reduced_openings,
         gd.verify_merkle_proof_to_cap_with_cap_index(
             b, list(evals), x_index_bits, cap_index, cap, mproof)
 
-    # subgroup_x = g_F * phi^rev(x_index); MSB-first exp gadget with
-    # LSB-first bits computes the bit-reversed exponent
+    # subgroup_x = g_F * phi^rev(x_index): reversed LSB-first bits into the
+    # LSB-first exp gadget (reference fri/recursive_verifier.rs:296-300)
     phi = spec.two_adic_generator(n_log)
-    phi_pow = gd.exp_from_bits_const_base(b, phi, x_index_bits)
+    phi_pow = gd.exp_from_bits_const_base(b, phi,
+                                          list(reversed(x_index_bits)))
     g_const = b.constant(spec.coset_shift)
     subgroup_x = b.mul(g_const, phi_pow)
 
@@ -209,9 +211,9 @@ def _verifier_query_round(b, instance, challenges, reduced_openings,
         subgroup_x = gd.exp_power_of_2(b, subgroup_x, arity_bits)
         x_index_bits = coset_index_bits
 
-    # final polynomial evaluation at subgroup_x (scalar Horner)
+    # final polynomial evaluation at subgroup_x via ReducingExtensionGates
+    # (reference fri/recursive_verifier.rs:363-372 -> polynomial.rs:24-33)
     subgroup_x_ext = b.convert_to_ext(subgroup_x)
-    acc = b.zero_extension()
-    for c in reversed(proof.final_poly):
-        acc = b.mul_add_extension(acc, subgroup_x_ext, c)
-    b.connect_extension(acc, old_eval)
+    red = gd.ReducingFactorTarget(subgroup_x_ext)
+    eval_t = red.reduce(list(proof.final_poly), b)
+    b.connect_extension(eval_t, old_eval)

@@ -27,7 +27,59 @@ from ..field import host
 UNUSED_SELECTOR = (1 << 32) - 1
 
 
-class HostExtAlgebra:
+class _FusedOpsMixin:
+    """Default compositions for the fused operations the reference's
+    hand-written circuit evaluators use (mul_add_extension & co).  The
+    circuit algebra overrides these to emit the reference's exact gadget
+    calls; for host/device algebras the compositions below produce the same
+    field values, so native and batched evaluation are unaffected."""
+
+    def mul_add(self, a, b, c):
+        return self.add(self.mul(a, b), c)
+
+    def mul_sub(self, a, b, c):
+        return self.sub(self.mul(a, b), c)
+
+    def mul_many(self, terms):
+        out = None
+        for t in terms:
+            out = t if out is None else self.mul(out, t)
+        return out if out is not None else self.one()
+
+    def const_mul_add(self, c: int, x, acc):
+        """c*x + acc with a host-known constant c (circuit: the constant is
+        routed, reference mul_add_extension(constant_extension(c), x, acc))."""
+        return self.add(self.mul_base_const(x, c), acc)
+
+    def const_mul(self, c: int, x):
+        """c*x with a host-known constant c (circuit: mul_const_extension —
+        a routed constant target times x)."""
+        return self.mul_base_const(x, c)
+
+    def k_const_mul(self, k: int, x):
+        """k*x with k a coset shift (circuit: scalar_mul_ext(constant(k), x),
+        reference vanishing_poly.rs:906-910)."""
+        return self.mul_base_const(x, k)
+
+    def scalar_mul_add(self, s, b, c):
+        """s*b + c with s a dynamic base-field scalar (challenge)."""
+        return self.add(self.mul_scalar(b, s), c)
+
+    def exp7(self, x):
+        """x^7 (the Poseidon sbox; circuit: exp_u64_extension op order)."""
+        x2 = self.mul(x, x)
+        x3 = self.mul(x2, x)
+        x4 = self.mul(x2, x2)
+        return self.mul(x3, x4)
+
+    def reduce_with_powers(self, terms, alpha):
+        """sum_i alpha^i terms[i] (circuit: ReducingFactorTarget over
+        Reducing(Extension)Gates, reference vanishing_poly.rs:977-984)."""
+        from ..plonk import vanishing
+        return vanishing.reduce_with_powers(self, terms, alpha)
+
+
+class HostExtAlgebra(_FusedOpsMixin):
     """Extension-field algebra on python-int D-tuples (verifier side)."""
 
     def __init__(self, spec: host.FieldSpec):
@@ -68,7 +120,7 @@ class HostExtAlgebra:
         return host.ext_from_base(self.spec, s)
 
 
-class HostBaseAlgebra:
+class HostBaseAlgebra(_FusedOpsMixin):
     """Base-field algebra on python ints (witness generators, host checks)."""
 
     def __init__(self, spec: host.FieldSpec):
@@ -109,7 +161,7 @@ class HostBaseAlgebra:
         return s % self.p
 
 
-class DeviceBaseAlgebra:
+class DeviceBaseAlgebra(_FusedOpsMixin):
     """Base-field algebra on batched device arrays (prover quotient side).
 
     ``F`` is a device field module (field.gl / field.bb); values are field
@@ -156,6 +208,18 @@ class DeviceBaseAlgebra:
 
     def lift_scalar(self, s):
         return s
+
+    def mul_many(self, terms):
+        terms = list(terms)
+        if len(terms) <= 2:
+            return super().mul_many(terms)
+        # log-depth product (unrolled chains are pathological for XLA:CPU
+        # compile time)
+        import jax
+        import jax.numpy as jnp
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs, axis=0), *terms)
+        return self.F.batch_prod(stacked, axis=0)
 
 
 class EvaluationVars:
@@ -260,35 +324,30 @@ def ext_algebra_add(A, a, b):
 
 
 def compute_filter(A, row: int, group_range, s, many_selector: bool):
-    """reference gate.rs:391-404."""
+    """reference gate.rs:391-431 (the circuit side multiplies the terms with
+    mul_many_extension; A.mul_many dispatches per algebra)."""
     terms = []
     for i in range(group_range[0], group_range[1]):
         if i != row:
             terms.append(A.sub(A.from_int(i), s))
     if many_selector:
         terms.append(A.sub(A.from_int(UNUSED_SELECTOR % A.spec.p), s))
-    if isinstance(A, DeviceBaseAlgebra) and len(terms) > 2:
-        # log-depth product (unrolled chains are pathological for XLA:CPU
-        # compile time)
-        import jax
-        import jax.numpy as jnp
-        stacked = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs, axis=0), *terms)
-        return A.F.batch_prod(stacked, axis=0)
-    out = None
-    for t in terms:
-        out = t if out is None else A.mul(out, t)
-    return out if out is not None else A.one()
+    return A.mul_many(terms)
 
 
 def eval_filtered(A, gate: Gate, vars: EvaluationVars, row: int,
                   selector_index: int, group_range, num_selectors: int,
-                  num_lookup_selectors: int) -> List:
-    """reference gate.rs:162-185."""
+                  num_lookup_selectors: int,
+                  constraints_acc: List) -> None:
+    """reference gate.rs:162-243: compute the filter, evaluate the gate
+    unfiltered, and accumulate ``acc_j = filter * c_j + acc_j`` into the
+    shared across-gates constraint vector (the circuit side emits
+    mul_add_extension for each — reference gate.rs:239-242)."""
     filt = compute_filter(A, row, group_range,
                           vars.local_constants[selector_index],
                           num_selectors > 1)
     inner = EvaluationVars(
         vars.local_constants[num_selectors + num_lookup_selectors:],
         vars.local_wires, vars.public_inputs_hash)
-    return [A.mul(filt, c) for c in gate.eval_unfiltered(A, inner)]
+    for j, c in enumerate(gate.eval_unfiltered(A, inner)):
+        constraints_acc[j] = A.mul_add(filt, c, constraints_acc[j])

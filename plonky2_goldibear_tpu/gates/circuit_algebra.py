@@ -47,6 +47,73 @@ class CircuitExtAlgebra:
     def add_base_const(self, a, c: int):
         return self.b.add_extension(a, self.b.constant_extension(c))
 
+    # -- fused ops: emit the reference's exact gadget calls ------------------
+
+    def mul_add(self, a, b, c):
+        return self.b.mul_add_extension(a, b, c)
+
+    def mul_sub(self, a, b, c):
+        return self.b.mul_sub_extension(a, b, c)
+
+    def mul_many(self, terms):
+        return self.b.mul_many_extension(terms)
+
+    def const_mul_add(self, c: int, x, acc):
+        """constant_extension(c) then mul_add (reference poseidon circuit
+        helpers route the constant as a target)."""
+        t = self.b.constant_extension(c)
+        return self.b.mul_add_extension(t, x, acc)
+
+    def const_mul(self, c: int, x):
+        return self.b.mul_const_extension(c, x)
+
+    def k_const_mul(self, k: int, x):
+        """reference vanishing_poly.rs:906-910: builder.constant(k) then
+        scalar_mul_ext."""
+        return self.b.scalar_mul_ext(self.b.constant(k), x)
+
+    def scalar_mul_add(self, s, b_, c):
+        """beta (Target) * ext + ext via one arithmetic op (reference
+        vanishing_poly.rs:943-952: convert_to_ext then mul_add_extension)."""
+        beta_ext = self.b.convert_to_ext(s)
+        return self.b.mul_add_extension(beta_ext, b_, c)
+
+    def exp7(self, x):
+        return self.b.exp_u64_extension(x, 7)
+
+    def reduce_with_powers(self, terms, alpha):
+        """reference vanishing_poly.rs:977-984: convert_to_ext the alpha
+        Target, then ReducingFactorTarget::reduce."""
+        from ..plonk.gadgets import ReducingFactorTarget
+
+        alpha_ext = self.b.convert_to_ext(alpha)
+        red = ReducingFactorTarget(alpha_ext)
+        return red.reduce(list(terms), self.b)
+
+    def poseidon_mds_layer(self, state):
+        """Full-round Poseidon MDS via a dedicated PoseidonMdsGate instance,
+        mirroring the reference's in-circuit fast path
+        (hash/poseidon_goldilocks.rs:597-620 mds_layer_circuit: when there
+        are enough routed wires, place one linear MDS gate and route the
+        state through it instead of emitting ~WIDTH^2 arithmetic ops).
+        Returns None when the gate does not fit, so the caller falls back to
+        the naive per-row evaluation.  Native/batched algebras do not define
+        this hook."""
+        from ..iop import target as tgt
+        from .poseidon_mds import PoseidonMdsGate
+
+        gate = PoseidonMdsGate(self.spec.ext_degree)
+        if self.b.config.num_routed_wires < gate.num_wires():
+            return None
+        row = self.b.add_gate(gate, [])
+        width = len(state)
+        for i in range(width):
+            self.b.connect_extension(
+                state[i],
+                tuple(tgt.wire(row, w) for w in gate.wires_input(i)))
+        return [tuple(tgt.wire(row, w) for w in gate.wires_output(i))
+                for i in range(width)]
+
     # dynamic base-field scalars are Targets in-circuit
     def mul_scalar(self, a, s):
         return self.b.scalar_mul_ext(s, a)

@@ -107,16 +107,18 @@ class PoseidonGate(Gate):
     def eval_unfiltered(self, A, vars: EvaluationVars) -> List:
         constraints = []
         lw = vars.local_wires
-        one = A.one()
 
         swap = lw[self.WIRE_SWAP]
-        constraints.append(A.mul(swap, A.sub(swap, one)))
+        # swap binary: swap*swap - swap (reference poseidon_goldilocks.rs
+        # native :?; circuit :312 mul_sub_extension(swap, swap, swap))
+        constraints.append(A.mul_sub(swap, swap, swap))
 
         for i in range(4):
             lhs = lw[self.wire_input(i)]
             rhs = lw[self.wire_input(i + 4)]
             delta = lw[self.wire_delta(i)]
-            constraints.append(A.sub(A.mul(swap, A.sub(rhs, lhs)), delta))
+            # swap*(rhs - lhs) - delta as one fused op (reference :316-321)
+            constraints.append(A.mul_sub(swap, A.sub(rhs, lhs), delta))
 
         state = [None] * W
         for i in range(4):
@@ -138,20 +140,39 @@ class PoseidonGate(Gate):
             state = pg.mds_layer_a(A, state)
             round_ctr += 1
 
-        state = pg.partial_first_constant_layer_a(A, state)
-        state = pg.mds_partial_layer_init_a(A, state)
-        for r in range(NP - 1):
-            sbox_in = lw[self.wire_partial_sbox(r)]
+        # Partial rounds.  The circuit evaluation with enough routed wires
+        # for PoseidonMdsGate uses the NAIVE schedule — full constant layer,
+        # single-lane sbox, one MDS gate per round (reference
+        # gates/poseidon_goldilocks.rs:354-363) — while every other mode
+        # uses the fast schedule.  The two yield identical constraint
+        # values: the fast schedule preserves the lane-0 sbox inputs and the
+        # final state by construction.
+        use_mds_gate = (
+            getattr(A, "poseidon_mds_layer", None) is not None
+            and A.b.config.num_routed_wires >= 2 * A.spec.ext_degree * W)
+        if use_mds_gate:
+            for r in range(NP):
+                state = pg.constant_layer_a(A, state, round_ctr)
+                sbox_in = lw[self.wire_partial_sbox(r)]
+                constraints.append(A.sub(state[0], sbox_in))
+                state[0] = pg.sbox_monomial_a(A, sbox_in)
+                state = pg.mds_layer_a(A, state)
+                round_ctr += 1
+        else:
+            state = pg.partial_first_constant_layer_a(A, state)
+            state = pg.mds_partial_layer_init_a(A, state)
+            for r in range(NP - 1):
+                sbox_in = lw[self.wire_partial_sbox(r)]
+                constraints.append(A.sub(state[0], sbox_in))
+                state[0] = pg.sbox_monomial_a(A, sbox_in)
+                state[0] = A.add_base_const(
+                    state[0], C.FAST_PARTIAL_ROUND_CONSTANTS[r])
+                state = pg.mds_partial_layer_fast_a(A, state, r)
+            sbox_in = lw[self.wire_partial_sbox(NP - 1)]
             constraints.append(A.sub(state[0], sbox_in))
             state[0] = pg.sbox_monomial_a(A, sbox_in)
-            state[0] = A.add_base_const(state[0],
-                                        C.FAST_PARTIAL_ROUND_CONSTANTS[r])
-            state = pg.mds_partial_layer_fast_a(A, state, r)
-        sbox_in = lw[self.wire_partial_sbox(NP - 1)]
-        constraints.append(A.sub(state[0], sbox_in))
-        state[0] = pg.sbox_monomial_a(A, sbox_in)
-        state = pg.mds_partial_layer_fast_a(A, state, NP - 1)
-        round_ctr += NP
+            state = pg.mds_partial_layer_fast_a(A, state, NP - 1)
+            round_ctr += NP
 
         for r in range(HALF):
             state = pg.constant_layer_a(A, state, round_ctr)

@@ -137,10 +137,10 @@ def constant_layer_a(A, state, round_ctr: int):
 
 
 def sbox_monomial_a(A, x):
-    x2 = A.mul(x, x)
-    x3 = A.mul(x2, x)
-    x4 = A.mul(x2, x2)
-    return A.mul(x3, x4)
+    # circuit mode emits exp_u64_extension(x, 7) op-for-op (reference
+    # hash/poseidon_goldilocks.rs:849-856); other algebras use the same
+    # 4-multiplication chain values
+    return A.exp7(x)
 
 
 def sbox_layer_a(A, state):
@@ -148,14 +148,23 @@ def sbox_layer_a(A, state):
 
 
 def mds_row_shf_a(A, r: int, v):
-    res = None
+    # zero-accumulator const*x + acc chain (reference
+    # mds_row_shf_circuit, hash/poseidon_goldilocks.rs:561-581); value-equal
+    # for host/device algebras, op-exact for the circuit algebra
+    res = A.zero()
     for i in range(WIDTH):
-        t = A.mul_base_const(v[(i + r) % WIDTH], C.MDS_MATRIX_CIRC[i])
-        res = t if res is None else A.add(res, t)
-    return A.add(res, A.mul_base_const(v[r], C.MDS_MATRIX_DIAG[r]))
+        res = A.const_mul_add(C.MDS_MATRIX_CIRC[i], v[(i + r) % WIDTH], res)
+    return A.const_mul_add(C.MDS_MATRIX_DIAG[r], v[r], res)
 
 
 def mds_layer_a(A, state):
+    # circuit algebra: route through a PoseidonMdsGate when it fits
+    # (reference hash/poseidon_goldilocks.rs:597-620 mds_layer_circuit)
+    hook = getattr(A, "poseidon_mds_layer", None)
+    if hook is not None:
+        out = hook(state)
+        if out is not None:
+            return out
     return [mds_row_shf_a(A, r, state) for r in range(WIDTH)]
 
 
@@ -165,26 +174,30 @@ def partial_first_constant_layer_a(A, state):
 
 
 def mds_partial_layer_init_a(A, state):
-    result = [state[0]] + [None] * (WIDTH - 1)
+    # accumulate from zero with fused const*x + acc (reference
+    # mds_partial_layer_init_circuit, hash/poseidon_goldilocks.rs:687-720)
+    result = [A.zero()] * WIDTH
+    result[0] = state[0]
     for r in range(1, WIDTH):
         for c in range(1, WIDTH):
-            t = A.mul_base_const(
-                state[r], C.FAST_PARTIAL_ROUND_INITIAL_MATRIX[r - 1][c - 1])
-            result[c] = t if result[c] is None else A.add(result[c], t)
+            result[c] = A.const_mul_add(
+                C.FAST_PARTIAL_ROUND_INITIAL_MATRIX[r - 1][c - 1],
+                state[r], result[c])
     return result
 
 
 def mds_partial_layer_fast_a(A, state, r: int):
+    # reference mds_partial_layer_fast_circuit
+    # (hash/poseidon_goldilocks.rs:772-800)
     mds0to0 = C.MDS_MATRIX_CIRC[0] + C.MDS_MATRIX_DIAG[0]
-    d = A.mul_base_const(state[0], mds0to0)
+    d = A.const_mul(mds0to0, state[0])
     for i in range(1, WIDTH):
-        d = A.add(d, A.mul_base_const(state[i],
-                                      C.FAST_PARTIAL_ROUND_W_HATS[r][i - 1]))
+        d = A.const_mul_add(C.FAST_PARTIAL_ROUND_W_HATS[r][i - 1],
+                            state[i], d)
     result = [d]
     for i in range(1, WIDTH):
-        result.append(A.add(
-            A.mul_base_const(state[0], C.FAST_PARTIAL_ROUND_VS[r][i - 1]),
-            state[i]))
+        result.append(A.const_mul_add(C.FAST_PARTIAL_ROUND_VS[r][i - 1],
+                                      state[0], state[i]))
     return result
 
 

@@ -101,7 +101,6 @@ class CircuitBuilder:
         self._slot_gates: Dict[str, object] = {}
         self.base_arithmetic_results: Dict[Tuple, tgt.Target] = {}
         self._ext_arithmetic_results: Dict[Tuple, Tuple] = {}
-        self._ext_mul_results: Dict[Tuple, Tuple] = {}
         # lookup bookkeeping (reference circuit_builder.rs:194-197,302-335)
         self.luts: List[Tuple[Tuple[int, int], ...]] = []
         self.lut_to_lookups: List[List[Tuple]] = []
@@ -287,19 +286,29 @@ class CircuitBuilder:
         return tgt.wire(row, wo)
 
     def add(self, x, y):
+        # x + y = 1 * x * 1 + 1 * y (reference arithmetic.rs:197-202)
         return self.arithmetic(1, 1, x, self.one(), y)
 
     def sub(self, x, y):
         return self.arithmetic(1, self.spec.p - 1, x, self.one(), y)
 
     def mul(self, x, y):
-        return self.arithmetic(1, 0, x, y, self.zero())
+        # x * y = 1 * x * y + 0 * x — the addend is x, not zero (reference
+        # arithmetic.rs:244-247); the wiring difference is digest-relevant
+        return self.arithmetic(1, 0, x, y, x)
 
     def mul_add(self, x, y, z):
         return self.arithmetic(1, 1, x, y, z)
 
+    def mul_sub(self, x, y, z):
+        return self.arithmetic(1, self.spec.p - 1, x, y, z)
+
     def mul_const(self, c, x):
-        return self.arithmetic(c, 0, x, self.one(), self.zero())
+        # routes a constant TARGET (reference arithmetic.rs:180-183)
+        return self.mul(self.constant(c), x)
+
+    def mul_const_add(self, c, x, y):
+        return self.mul_add(self.constant(c), x, y)
 
     def add_const(self, x, c):
         return self.add(x, self.constant(c))
@@ -307,11 +316,31 @@ class CircuitBuilder:
     def square(self, x):
         return self.mul(x, x)
 
+    def cube(self, x):
+        return self.mul_many([x, x, x])
+
+    # reference arithmetic.rs:23 — exactly this addend count uses AddManyGate
+    ADD_MANY_THRESHOLD = 23
+
     def add_many(self, xs):
-        out = self.zero()
-        for x in xs:
-            out = self.add(out, x)
-        return out
+        from ..gates.misc_gates import AddManyGate
+        addends = list(xs)
+        n = len(addends)
+        if n == self.ADD_MANY_THRESHOLD:
+            gate = AddManyGate.from_config(self.config,
+                                           self.ADD_MANY_THRESHOLD)
+            row, i = self.find_slot(gate, [], [])
+            for t, w in zip(addends, gate.wires_addends(i)):
+                self.connect(t, tgt.wire(row, w))
+            return tgt.wire(row, gate.wire_sum(i))
+        if n < self.ADD_MANY_THRESHOLD:
+            out = self.zero()
+            for x in addends:
+                out = self.add(out, x)
+            return out
+        chunks = [self.add_many(addends[k:k + self.ADD_MANY_THRESHOLD])
+                  for k in range(0, n, self.ADD_MANY_THRESHOLD)]
+        return self.add_many(chunks)
 
     def mul_many(self, xs):
         out = self.one()
@@ -427,27 +456,68 @@ class CircuitBuilder:
 
     def arithmetic_extension(self, const_0: int, const_1: int, m0, m1,
                              addend) -> Tuple[tgt.Target, ...]:
-        """c0*m0*m1 + c1*addend over the extension
-        (reference gadgets/arithmetic_extension.rs)."""
-        from ..gates.extension_gates import ArithmeticExtensionGate
+        """c0*m0*m1 + c1*addend over the extension — faithful port of the
+        reference gadget pipeline (gadgets/arithmetic_extension.rs:27-115):
+        special-case folding first, then one result cache keyed on the full
+        operation, then a MulExtensionGate slot when the addend is the zero
+        constant, else an ArithmeticExtensionGate slot."""
         p = self.spec.p
         const_0 %= p
         const_1 %= p
-        # constant folding
-        c0s = self.target_as_constant_ext(m0)
-        c1s = self.target_as_constant_ext(m1)
-        cas = self.target_as_constant_ext(addend)
-        if c0s is not None and c1s is not None and cas is not None:
-            val = host.ext_add(
-                self.spec,
-                host.ext_scalar_mul(self.spec,
-                                    host.ext_mul(self.spec, c0s, c1s),
-                                    const_0),
-                host.ext_scalar_mul(self.spec, cas, const_1))
-            return self.constant_extension(val)
+        special = self._arithmetic_extension_special_cases(
+            const_0, const_1, m0, m1, addend)
+        if special is not None:
+            return special
         op = (const_0, const_1, m0, m1, addend)
         if op in self._ext_arithmetic_results:
             return self._ext_arithmetic_results[op]
+        if self.target_as_constant_ext(addend) == (0,) * self.D:
+            result = self._compute_mul_extension_operation(const_0, m0, m1)
+        else:
+            result = self._compute_arithmetic_extension_operation(op)
+        self._ext_arithmetic_results[op] = result
+        return result
+
+    def _arithmetic_extension_special_cases(self, const_0, const_1, m0, m1,
+                                            addend):
+        """reference arithmetic_extension.rs:117-171."""
+        spec = self.spec
+        zero = self.zero_extension()
+        mc0 = self.target_as_constant_ext(m0)
+        mc1 = self.target_as_constant_ext(m1)
+        ac = self.target_as_constant_ext(addend)
+        first_zero = const_0 == 0 or m0 == zero or m1 == zero
+        second_zero = const_1 == 0 or addend == zero
+        zero_v = (0,) * self.D
+        first_const = None
+        if first_zero:
+            first_const = zero_v
+        elif mc0 is not None and mc1 is not None:
+            first_const = host.ext_scalar_mul(
+                spec, host.ext_mul(spec, mc0, mc1), const_0)
+        second_const = None
+        if second_zero:
+            second_const = zero_v
+        elif ac is not None:
+            second_const = host.ext_scalar_mul(spec, ac, const_1)
+        if first_const is not None and second_const is not None:
+            return self.constant_extension(
+                host.ext_add(spec, first_const, second_const))
+        if first_zero and const_1 == 1:
+            return addend
+        if second_zero:
+            one_v = host.ext_one(spec)
+            if mc0 is not None and \
+                    host.ext_scalar_mul(spec, mc0, const_0) == one_v:
+                return m1
+            if mc1 is not None and \
+                    host.ext_scalar_mul(spec, mc1, const_0) == one_v:
+                return m0
+        return None
+
+    def _compute_arithmetic_extension_operation(self, op):
+        from ..gates.extension_gates import ArithmeticExtensionGate
+        const_0, const_1, m0, m1, addend = op
         gate = ArithmeticExtensionGate.from_config(self.config, self.D)
         row, i = self.find_slot(gate, [const_0, const_1], [const_0, const_1])
         m0r, m1r, adr, outr = gate.wires_op(i)
@@ -457,22 +527,10 @@ class CircuitBuilder:
             self.connect(t, tgt.wire(row, w))
         for t, w in zip(addend, adr):
             self.connect(t, tgt.wire(row, w))
-        result = tuple(tgt.wire(row, w) for w in outr)
-        self._ext_arithmetic_results[op] = result
-        return result
+        return tuple(tgt.wire(row, w) for w in outr)
 
-    def mul_extension_with_const(self, const_0: int, m0, m1):
+    def _compute_mul_extension_operation(self, const_0: int, m0, m1):
         from ..gates.extension_gates import MulExtensionGate
-        p = self.spec.p
-        const_0 %= p
-        c0s = self.target_as_constant_ext(m0)
-        c1s = self.target_as_constant_ext(m1)
-        if c0s is not None and c1s is not None:
-            return self.constant_extension(host.ext_scalar_mul(
-                self.spec, host.ext_mul(self.spec, c0s, c1s), const_0))
-        op = (const_0, m0, m1)
-        if op in self._ext_mul_results:
-            return self._ext_mul_results[op]
         gate = MulExtensionGate.from_config(self.config, self.D)
         row, i = self.find_slot(gate, [const_0], [const_0])
         m0r, m1r, outr = gate.wires_op(i)
@@ -480,19 +538,29 @@ class CircuitBuilder:
             self.connect(t, tgt.wire(row, w))
         for t, w in zip(m1, m1r):
             self.connect(t, tgt.wire(row, w))
-        result = tuple(tgt.wire(row, w) for w in outr)
-        self._ext_mul_results[op] = result
-        return result
+        return tuple(tgt.wire(row, w) for w in outr)
+
+    def mul_extension_with_const(self, const_0: int, m0, m1):
+        return self.arithmetic_extension(const_0, 0, m0, m1,
+                                         self.zero_extension())
 
     def add_extension(self, a, b):
-        return self.arithmetic_extension(1, 1, a, self.one_extension(), b)
+        # 1 * one * a + 1 * b (reference arithmetic_extension.rs:199-206:
+        # the multiplicands are (one, a) — wiring order is digest-relevant)
+        return self.arithmetic_extension(1, 1, self.one_extension(), a, b)
 
     def sub_extension(self, a, b):
-        return self.arithmetic_extension(1, self.spec.p - 1, a,
-                                         self.one_extension(), b)
+        return self.arithmetic_extension(1, self.spec.p - 1,
+                                         self.one_extension(), a, b)
 
     def mul_extension(self, a, b):
         return self.mul_extension_with_const(1, a, b)
+
+    def square_extension(self, a):
+        return self.mul_extension(a, a)
+
+    def cube_extension(self, a):
+        return self.mul_many_extension([a, a, a])
 
     def mul_add_extension(self, a, b, c):
         return self.arithmetic_extension(1, 1, a, b, c)
@@ -501,16 +569,25 @@ class CircuitBuilder:
         return self.arithmetic_extension(1, self.spec.p - 1, a, b, c)
 
     def mul_const_extension(self, c: int, a):
-        return self.arithmetic_extension(c, 0, a, self.one_extension(),
-                                         self.zero_extension())
+        # routes a constant TARGET (reference arithmetic_extension.rs:350-353)
+        return self.mul_extension(self.constant_extension(c), a)
 
     def mul_const_add_extension(self, c: int, a, b):
-        """c*a + b (via c*a*1 + 1*b)."""
-        return self.arithmetic_extension(c, 1, a, self.one_extension(), b)
+        return self.mul_add_extension(self.constant_extension(c), a, b)
+
+    def add_const_extension(self, a, c: int):
+        return self.add_extension(a, self.constant_extension(c))
 
     def scalar_mul_ext(self, s: tgt.Target, a):
         """base target * ext target."""
         return self.mul_extension(self.convert_to_ext(s), a)
+
+    def scalar_mul_add_extension(self, s: tgt.Target, b, c):
+        return self.arithmetic_extension(1, 1, self.convert_to_ext(s), b, c)
+
+    def scalar_mul_sub_extension(self, s: tgt.Target, b, c):
+        return self.arithmetic_extension(1, self.spec.p - 1,
+                                         self.convert_to_ext(s), b, c)
 
     def add_many_extension(self, terms):
         acc = self.zero_extension()
@@ -525,7 +602,17 @@ class CircuitBuilder:
         return acc
 
     def exp_u64_extension(self, base, exponent: int):
-        """base^e for a host-known exponent (square-and-multiply)."""
+        """base^e for a host-known exponent (reference
+        arithmetic_extension.rs:442-467: small-exponent shortcuts, then
+        LSB-first square-and-multiply)."""
+        if exponent == 0:
+            return self.one_extension()
+        if exponent == 1:
+            return base
+        if exponent == 2:
+            return self.square_extension(base)
+        if exponent == 3:
+            return self.cube_extension(base)
         result = self.one_extension()
         b = base
         e = exponent
@@ -534,20 +621,24 @@ class CircuitBuilder:
                 result = self.mul_extension(result, b)
             e >>= 1
             if e:
-                b = self.mul_extension(b, b)
+                b = self.square_extension(b)
         return result
 
-    def inverse_extension(self, a):
-        """1/a: witnessed inverse + product check
-        (reference gadgets/arithmetic_extension.rs div gadget)."""
+    def div_add_extension(self, x, y, z):
+        """x / y + z: witnessed inverse of y, product check, then one fused
+        mul_add (reference gadgets/arithmetic_extension.rs:479-498)."""
         inv = self.add_virtual_extension_target()
-        self.add_simple_generator(_ExtInverseGenerator(a, inv, self.spec))
-        prod = self.mul_extension(a, inv)
-        self.connect_extension(prod, self.one_extension())
-        return inv
+        self.add_simple_generator(_ExtInverseGenerator(y, inv, self.spec))
+        y_inv = self.mul_extension(y, inv)
+        self.connect_extension(y_inv, self.one_extension())
+        return self.mul_add_extension(x, inv, z)
 
     def div_extension(self, a, b):
-        return self.mul_extension(a, self.inverse_extension(b))
+        return self.div_add_extension(a, b, self.zero_extension())
+
+    def inverse_extension(self, a):
+        """1/a (reference arithmetic_extension.rs:501-504: div(one, a))."""
+        return self.div_extension(self.one_extension(), a)
 
     # -- hashing gadgets (reference plonk/config.rs:97-166,
     #    hash/poseidon_goldilocks.rs permute_swapped impl) ------------------

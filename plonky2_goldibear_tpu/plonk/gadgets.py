@@ -41,30 +41,74 @@ def assert_bool(b, t):
 # -- exponentiation ----------------------------------------------------------
 
 
-def exp_from_bits_const_base(b, base: int, bits_be: Sequence) -> tgt.Target:
-    """base^(sum 2^i bit_i) for a constant base; bits given MSB-first
-    (reference gadgets/arithmetic.rs exp_from_bits_const_base)."""
+def num_base_arithmetic_ops_per_gate(b) -> int:
+    from ..gates.basic_gates import ArithmeticGate
+    return ArithmeticGate.from_config(b.config).num_ops
+
+
+def exp_from_bits(b, base: tgt.Target, bits: Sequence) -> tgt.Target:
+    """base^(sum 2^i bit_i) via one ExponentiationGate (reference
+    gadgets/arithmetic.rs:275-296); bits little-endian, zero-padded to the
+    gate's power-bit count."""
+    from ..gates.access_gates import ExponentiationGate
+
+    gate = ExponentiationGate.from_config(b.config)
+    bits = list(bits)
+    zero = b.zero()
+    while len(bits) < gate.num_power_bits:
+        bits.append(zero)
+    row = b.add_gate(gate, [])
+    b.connect(base, tgt.wire(row, gate.wire_base()))
+    for i, bit in enumerate(bits):
+        b.connect(bit, tgt.wire(row, gate.wire_power_bit(i)))
+    return tgt.wire(row, gate.wire_output())
+
+
+def exp_from_bits_const_base(b, base: int, bits_le: Sequence) -> tgt.Target:
+    """base^(sum 2^i bit_i) for a constant base; bits little-endian
+    (reference gadgets/arithmetic.rs:307-335: per-bit
+    product = (base^(2^i) - 1) * product * bit + product; falls back to one
+    ExponentiationGate when the bit count exceeds a gate's arithmetic
+    ops)."""
     p = b.spec.p
+    bits = list(bits_le)
+    # the reference registers the base constant BEFORE choosing a path
+    # (arithmetic.rs:313), even though the arithmetic path never routes it —
+    # constant registration order is digest-relevant
+    base_t = b.constant(base % p)
+    if len(bits) > num_base_arithmetic_ops_per_gate(b):
+        return exp_from_bits(b, base_t, bits)
     product = b.one()
-    for bit in bits_be:
-        # product = product^2 * (1 + bit*(base - 1))
-        #         = base^bit * product^2, enforced multiplicatively:
-        # next = (bit*(base-1) + 1) * product^2
-        pw = b.mul(product, product)
-        scaled = b.arithmetic(base - 1, 1, bit, pw, pw)
-        product = scaled
+    for i, bit in enumerate(bits):
+        product = b.arithmetic((pow(base, 1 << i, p) - 1) % p, 1,
+                               product, bit, product)
     return product
 
 
 def exp_power_of_2(b, x, k: int):
+    """reference gadgets/arithmetic.rs:262-272: ExponentiateGate when the
+    square chain would not fit in one arithmetic gate."""
+    if k > num_base_arithmetic_ops_per_gate(b):
+        return exp_u64(b, x, 1 << k)
     for _ in range(k):
-        x = b.mul(x, x)
+        x = b.square(x)
     return x
+
+
+def exp_u64(b, base: tgt.Target, exponent: int) -> tgt.Target:
+    """reference gadgets/arithmetic.rs:340-350: constant-bool exponent bits
+    into one ExponentiationGate."""
+    bits = []
+    e = exponent
+    while e:
+        bits.append(b.constant(e & 1))
+        e >>= 1
+    return exp_from_bits(b, base, bits)
 
 
 def exp_power_of_2_extension(b, x, k: int):
     for _ in range(k):
-        x = b.mul_extension(x, x)
+        x = b.square_extension(x)
     return x
 
 
@@ -113,8 +157,9 @@ def split_le(b, integer, num_bits: int) -> List[tgt.Target]:
     base = pow(2, gate.num_limbs, b.spec.p)
     acc = b.zero()
     for row in reversed(rows):
-        acc = b.arithmetic(base, 1, acc, b.one(),
-                           tgt.wire(row, BaseSumGate.WIRE_SUM))
+        # mul_const_add routes the base as a constant target
+        # (reference split_join.rs:48-55)
+        acc = b.mul_const_add(base, acc, tgt.wire(row, BaseSumGate.WIRE_SUM))
     b.connect(acc, integer)
     b.add_simple_generator(_WireSplitGenerator(integer, rows,
                                                gate.num_limbs, b.spec.p))
@@ -132,14 +177,45 @@ def low_bits(b, x, num_low_bits: int, noncanonical_ok: bool,
 
 
 def le_sum(b, bits: Sequence) -> tgt.Target:
-    """sum 2^i b_i (reference gadgets/split_base.rs:39-60, arithmetic path;
-    fine for the small bit counts used in FRI indexing)."""
+    """sum 2^i b_i (reference gadgets/split_base.rs le_sum): arithmetic path
+    when the chain fits one gate (mul_add with a routed constant two),
+    else a single BaseSumGate row."""
+    bits = list(bits)
     if not bits:
         return b.zero()
-    acc = bits[-1]
-    for bit in reversed(list(bits)[:-1]):
-        acc = b.arithmetic(2, 1, acc, b.one(), bit)
-    return acc
+    if len(bits) - 1 <= num_base_arithmetic_ops_per_gate(b):
+        two = b.two()
+        acc = bits[-1]
+        for bit in reversed(bits[:-1]):
+            acc = b.mul_add(two, acc, bit)
+        return acc
+    gate = BaseSumGate.from_config(b.config, b.spec, 2)
+    row = b.add_gate(gate, [])
+    limbs = list(gate.limbs())
+    for bit, w in zip(bits, limbs):
+        b.connect(bit, tgt.wire(row, w))
+    for w in limbs[len(bits):]:
+        b.assert_zero(tgt.wire(row, w))
+    b.add_simple_generator(_BaseSumGenerator(row, bits))
+    return tgt.wire(row, BaseSumGate.WIRE_SUM)
+
+
+class _BaseSumGenerator(gen.SimpleGenerator):
+    """Fills the BaseSumGate sum wire from its limb bits (reference
+    gates/base_sum.rs BaseSumGenerator, used by the le_sum gadget)."""
+
+    def __init__(self, row, bits):
+        self.row = row
+        self.bits = list(bits)
+
+    def dependencies(self):
+        return list(self.bits)
+
+    def run_once(self, witness, out):
+        v = 0
+        for i, t in enumerate(self.bits):
+            v |= int(witness.get_target(t)) << i
+        out.append((tgt.wire(self.row, BaseSumGate.WIRE_SUM), v))
 
 
 def range_check(b, x, n_bits: int):
@@ -161,14 +237,19 @@ def random_access(b, access_index, v: List[tgt.Target]) -> tgt.Target:
     gadgets/random_access.rs)."""
     n = len(v)
     assert n & (n - 1) == 0, "list length must be a power of two"
+    if n == 1:
+        return v[0]
     bits = host.log2_strict(n)
     claimed = b.add_virtual_target()
     gate = RandomAccessGate.from_config(b.config, bits)
     row, copy = b.find_slot(gate, [], [])
-    b.connect(access_index, tgt.wire(row, gate.wire_access_index(copy)))
-    b.connect(claimed, tgt.wire(row, gate.wire_claimed_element(copy)))
+    # connect order (items, then index, then claimed) mirrors the reference
+    # (random_access.rs:30-40) — routing order shapes the copy-permutation
+    # forest, hence the sigma polynomials and circuit digest
     for i, val in enumerate(v):
         b.connect(val, tgt.wire(row, gate.wire_list_item(i, copy)))
+    b.connect(access_index, tgt.wire(row, gate.wire_access_index(copy)))
+    b.connect(claimed, tgt.wire(row, gate.wire_claimed_element(copy)))
     return claimed
 
 
@@ -276,22 +357,14 @@ class ReducingFactorTarget:
         return acc
 
     def shift(self, x, b) -> tuple:
-        # x * base^count, then reset count
-        out = b.mul_extension(_exp_ext(b, self.base, self.count), x)
+        """x * base^count, then reset (reference reducing.rs:262-280: the
+        zeroed-out case skips the exponentiation entirely)."""
+        if x == b.zero_extension():
+            exp = b.zero_extension()
+        else:
+            exp = b.exp_u64_extension(self.base, self.count)
         self.count = 0
-        return out
-
-
-def _exp_ext(b, base_ext, e: int):
-    result = b.one_extension()
-    bb = base_ext
-    while e:
-        if e & 1:
-            result = b.mul_extension(result, bb)
-        e >>= 1
-        if e:
-            bb = b.mul_extension(bb, bb)
-    return result
+        return b.mul_extension(exp, x)
 
 
 # -- in-circuit Merkle verification ------------------------------------------

@@ -417,8 +417,9 @@ def _gate_contrib_body(F, common, gi, offset, cs_lde, wires_lde,
                               ns > 1)
         cs_list = [A.mul(filt, c) for c in dev(F, wires, vars)]
     else:
-        cs_list = eval_filtered(A, gate, vars, gi, sel_idx, group, ns,
-                                common.num_lookup_selectors)
+        cs_list = [A.zero()] * gate.num_constraints()
+        eval_filtered(A, gate, vars, gi, sel_idx, group, ns,
+                      common.num_lookup_selectors, cs_list)
 
     nch = config.num_challenges
     npts = fftm.tshape(wires)[-1]

@@ -100,12 +100,15 @@ def evaluate_gate_constraints(A, common, vars: EvaluationVars) -> List:
             filt = compute_filter(A, i, group,
                                   vars.local_constants[sel_idx],
                                   num_selectors > 1)
-            cs = [A.mul(filt, c) for c in dev(A.F, stacked, vars)]
+            for j, c in enumerate(dev(A.F, stacked, vars)):
+                constraints[j] = A.mul_add(filt, c, constraints[j])
         else:
-            cs = eval_filtered(A, gate, vars, i, sel_idx, group,
-                               num_selectors, common.num_lookup_selectors)
-        for j, c in enumerate(cs):
-            constraints[j] = A.add(constraints[j], c)
+            # accumulates acc_j = filter*c_j + acc_j in place (the circuit
+            # side emits one mul_add_extension per constraint, reference
+            # gate.rs:239-242)
+            eval_filtered(A, gate, vars, i, sel_idx, group,
+                          num_selectors, common.num_lookup_selectors,
+                          constraints)
     return constraints
 
 
@@ -143,16 +146,14 @@ def check_partial_products(A, numerators: Sequence, denominators: Sequence,
     chunk_i = 0
     while idx < n:
         hi = min(idx + max_degree, n)
-        num_prod = None
-        den_prod = None
-        for j in range(idx, hi):
-            num_prod = numerators[j] if num_prod is None else \
-                A.mul(num_prod, numerators[j])
-            den_prod = denominators[j] if den_prod is None else \
-                A.mul(den_prod, denominators[j])
+        # full numerator product, then denominator product, then fused
+        # prev*num - next*den (reference partial_products.rs:106-111 circuit
+        # emission; value-identical for host/device algebras)
+        num_prod = A.mul_many(numerators[idx:hi])
+        den_prod = A.mul_many(denominators[idx:hi])
         prev_acc, next_acc = accs[chunk_i], accs[chunk_i + 1]
-        out.append(A.sub(A.mul(prev_acc, num_prod),
-                         A.mul(next_acc, den_prod)))
+        next_acc_deno = A.mul(next_acc, den_prod)
+        out.append(A.mul_sub(prev_acc, num_prod, next_acc_deno))
         idx = hi
         chunk_i += 1
     assert chunk_i == len(partials) + 1
@@ -342,6 +343,16 @@ def eval_vanishing_poly(A, common, x, l_0_x, vars: EvaluationVars,
         lookup_selectors = vars.local_constants[
             ns:ns + common.num_lookup_selectors]
 
+    # l_0 may arrive as a thunk so its circuit-mode ops are emitted HERE —
+    # after the gate constraints, before the s_ids — exactly like the
+    # reference (vanishing_poly.rs:902: eval_l_0_circuit inside the body)
+    if callable(l_0_x):
+        l_0_x = l_0_x()
+
+    # s_id_j = k_j * x, hoisted before the challenge loop (reference
+    # vanishing_poly.rs:905-910: constant(k_j) then scalar_mul_ext)
+    s_ids = [A.k_const_mul(common.k_is[j], x) for j in range(num_routed)]
+
     vanishing_z_1_terms = []
     vanishing_partial_products_terms = []
     vanishing_all_lookup_terms = []
@@ -349,8 +360,8 @@ def eval_vanishing_poly(A, common, x, l_0_x, vars: EvaluationVars,
     for i in range(num_challenges):
         z_x = local_zs[i]
         z_gx = next_zs[i]
-        vanishing_z_1_terms.append(
-            A.mul(l_0_x, A.add_base_const(z_x, common.spec.p - 1)))
+        # L_0(x) (Z(x) - 1) as l_0*z - l_0 (reference :919 mul_sub)
+        vanishing_z_1_terms.append(A.mul_sub(l_0_x, z_x, l_0_x))
 
         if has_lookup:
             npoly = common.num_lookup_polys
@@ -365,14 +376,13 @@ def eval_vanishing_poly(A, common, x, l_0_x, vars: EvaluationVars,
         numerator_values = []
         denominator_values = []
         for j in range(num_routed):
-            wire = vars.local_wires[j]
-            k_i = common.k_is[j]
-            s_id_beta = A.mul_scalar(A.mul_base_const(x, k_i), betas[i])
+            # shared wire+gamma, then beta*s_id + (wire+gamma) as one
+            # mul_add (reference :943-952)
+            wvpg = A.add(vars.local_wires[j], gamma_l)
             numerator_values.append(
-                A.add(A.add(wire, s_id_beta), gamma_l))
-            s_sigma_beta = A.mul_scalar(s_sigmas[j], betas[i])
+                A.scalar_mul_add(betas[i], s_ids[j], wvpg))
             denominator_values.append(
-                A.add(A.add(wire, s_sigma_beta), gamma_l))
+                A.scalar_mul_add(betas[i], s_sigmas[j], wvpg))
 
         cur_partials = partial_products[i * num_prods:(i + 1) * num_prods]
         vanishing_partial_products_terms.extend(
@@ -384,7 +394,7 @@ def eval_vanishing_poly(A, common, x, l_0_x, vars: EvaluationVars,
                        + vanishing_all_lookup_terms
                        + constraint_terms)
 
-    return [reduce_with_powers(A, vanishing_terms, alphas[i])
+    return [A.reduce_with_powers(vanishing_terms, alphas[i])
             for i in range(num_challenges)]
 
 

@@ -15,6 +15,7 @@ from dataclasses import dataclass
 from typing import List, Tuple
 
 from ..field import host
+from ..fri import oracle as oracle_mod
 from ..fri import recursive_verifier as fric
 from ..gates.base import EvaluationVars
 from ..gates.circuit_algebra import CircuitExtAlgebra
@@ -101,13 +102,17 @@ def add_virtual_proof_with_pis(b, common) -> ProofWithPublicInputsTarget:
         lookup_zs=[ext() for _ in range(common.num_all_lookup_polys())],
         lookup_zs_next=[ext() for _ in range(common.num_all_lookup_polys())])
 
+    # salted (zk) oracles carry SALT_SIZE extra leaf columns (reference
+    # recursive_verifier.rs:162-176, plonk_common.rs:salt_size)
+    salt = oracle_mod.SALT_SIZE if common.fri_params.hiding else 0
     num_leaves_per_oracle = [
         common.num_preprocessed_polys(),
-        common.config.num_wires,
+        common.config.num_wires + salt,
         common.num_zs_partial_products_polys()
-        + common.num_all_lookup_polys(),
-        common.num_quotient_polys(),
+        + common.num_all_lookup_polys() + salt,
     ]
+    if common.num_quotient_polys() > 0:
+        num_leaves_per_oracle.append(common.num_quotient_polys() + salt)
     proof = ProofTarget(
         wires_cap=_virtual_cap(b, cap_height),
         plonk_zs_partial_products_cap=_virtual_cap(b, cap_height),
@@ -220,6 +225,18 @@ def get_lut_re_evals_circuit(b, common, deltas) -> List[List]:
     return out
 
 
+def eval_l_0_circuit(b, n: int, x, x_pow_n):
+    """L_0(x) = (x^n - 1) / (n (x - 1)) emitted op-for-op like the
+    reference (plonk_common.rs:75-101: one, converted neg_one, zero-poly
+    sub, then denominator = arithmetic_extension(n, n, x, one, neg_one))."""
+    one = b.one_extension()
+    neg_one = b.convert_to_ext(b.neg_one())
+    eval_zero_poly = b.sub_extension(x_pow_n, one)
+    denominator = b.arithmetic_extension(n % b.spec.p, n % b.spec.p,
+                                         x, one, neg_one)
+    return b.div_extension(eval_zero_poly, denominator)
+
+
 def verify_proof(b, proof_with_pis_t: ProofWithPublicInputsTarget,
                  verifier_data_t: VerifierCircuitTarget, common):
     """reference recursive_verifier.rs:23-140.
@@ -247,15 +264,14 @@ def verify_proof(b, proof_with_pis_t: ProofWithPublicInputsTarget,
         list(openings.constants), list(openings.wires),
         [b.convert_to_ext(t) for t in public_inputs_hash])
 
-    # L_0(zeta) = (zeta^n - 1) / (n (zeta - 1))
-    zeta_pow_deg = gd.exp_power_of_2_extension(b, zeta, common.degree_bits)
+    # reference recursive_verifier.rs:66 registers `one` before anything else
     one_ext = b.one_extension()
-    z_h_zeta = b.sub_extension(zeta_pow_deg, one_ext)
-    n = common.degree
-    denom = b.sub_extension(
-        b.mul_const_extension(n, zeta),
-        b.constant_extension(n % spec.p))
-    l_0_zeta = b.div_extension(z_h_zeta, denom)
+    zeta_pow_deg = gd.exp_power_of_2_extension(b, zeta, common.degree_bits)
+
+    # L_0(zeta) ops are emitted INSIDE eval_vanishing_poly, after the gate
+    # constraints (reference vanishing_poly.rs:902 -> plonk_common.rs:75-101)
+    def l_0_zeta():
+        return eval_l_0_circuit(b, common.degree, zeta, zeta_pow_deg)
 
     deltas = challenges.get("plonk_deltas", [])
     lut_re_evals = (get_lut_re_evals_circuit(b, common, deltas)
@@ -271,14 +287,16 @@ def verify_proof(b, proof_with_pis_t: ProofWithPublicInputsTarget,
         lut_re_evals=lut_re_evals)
 
     # quotient identity: vanishing_i(zeta) == Z_H(zeta) *
-    #   reduce(chunk_i, zeta^n)
+    #   reduce(chunk_i, zeta^n) — one shared ReducingFactorTarget and
+    #   z_h_zeta emitted here, after vanishing (reference
+    #   recursive_verifier.rs:107-119)
     qdf = common.quotient_degree_factor
+    scale = gd.ReducingFactorTarget(zeta_pow_deg)
+    z_h_zeta = b.sub_extension(zeta_pow_deg, one_ext)
     for i in range(common.config.num_challenges):
         chunk = openings.quotient_polys[i * qdf:(i + 1) * qdf]
-        acc = b.zero_extension()
-        for term in reversed(chunk):
-            acc = b.mul_add_extension(acc, zeta_pow_deg, term)
-        rhs = b.mul_extension(z_h_zeta, acc)
+        recombined = scale.reduce(list(chunk), b)
+        rhs = b.mul_extension(z_h_zeta, recombined)
         b.connect_extension(vanishing_zeta[i], rhs)
 
     merkle_caps = [
