@@ -51,19 +51,33 @@ def _chain(skip_self):
                     if f.name not in SKIP and f.name != skip_self)
 
 
+events = []  # merged, true emission order: ("add"|"op", ...)
+_IN_FIND_SLOT = [False]
+
+
 def traced_add_gate(self, gate, constants):
     row = orig_add_gate(self, gate, constants)
     stack = traceback.extract_stack(limit=14)
     chain = [f.name for f in stack
              if f.name not in SKIP and f.name != "traced_add_gate"]
     records.append((row, gate.id(), tuple(constants), ">".join(chain[-5:])))
+    if not _IN_FIND_SLOT[0]:
+        events.append(("add", row, gate.id(), ">".join(chain[-4:])))
     return row
 
 
 def traced_find_slot(self, gate, params, constants):
-    row, slot = orig_find_slot(self, gate, params, constants)
-    ops.append((row, slot, gate.id().split(" ")[0].split("{")[0],
-                tuple(int(x) for x in params), _chain("traced_find_slot")))
+    _IN_FIND_SLOT[0] = True
+    try:
+        row, slot = orig_find_slot(self, gate, params, constants)
+    finally:
+        _IN_FIND_SLOT[0] = False
+    gid = gate.id().split(" ")[0].split("{")[0]
+    key = tuple(int(x) for x in params)
+    num_ops = gate.num_ops
+    ops.append((row, slot, gid, key, _chain("traced_find_slot")))
+    events.append(("op", row, slot, gid, key, num_ops,
+                   _chain("traced_find_slot")))
     return row, slot
 
 
@@ -133,6 +147,10 @@ def main():
                     f"{chain[-130:]}\n")
     print(f"wrote /tmp/op_segments.txt + /tmp/op_stream.txt "
           f"({len(ops)} ops)", flush=True)
+    import pickle
+    with open("/tmp/event_stream.pkl", "wb") as f:
+        pickle.dump(events, f)
+    print(f"wrote /tmp/event_stream.pkl ({len(events)} events)", flush=True)
 
     from collections import Counter
     counts = Counter(gid for _, gid, _, _ in records)
