@@ -581,6 +581,10 @@ def _internal_prove(prover_data, common, witness: np.ndarray,
             wires_commitment.lde, zs_pp_commitment.lde,
             to_arr(public_inputs_hash), to_arr(betas), to_arr(gammas),
             to_arr(alphas), to_arr(deltas), to_arr(flat_lut_re))
+        if timing is not None:
+            # attribute quotient device time here rather than at the next
+            # blocking fetch (the commit's cap read)
+            jax.block_until_ready(jax.tree_util.tree_leaves(quotient_chunks))
 
     with timed(timing, "commit to quotient polys"):
         quotient_commitment = PolynomialBatch(

@@ -22,3 +22,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+# Long pytest runs accumulate every compiled XLA executable in-process
+# (~20 GB by the tail of the suite on a fresh cache), which has produced
+# XLA:CPU segfaults during LATER compilations.  Dropping JAX's in-memory
+# caches between modules bounds the footprint; recompiles hit the on-disk
+# persistent cache.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()
