@@ -22,6 +22,7 @@ from ..utils.keccak import keccak256
 from . import keccak_device as kd
 
 HASH_SIZE = 25          # bytes, GL config (reference KeccakGoldilocksConfig)
+DIGEST_IS_BYTES = True  # serde: digests are HASH_SIZE raw bytes (BytesHash)
 WIDTH = 12
 RATE = 8
 F = gl                  # leaf field (digests are bytes, not field elements)

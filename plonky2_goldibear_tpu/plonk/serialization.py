@@ -76,20 +76,26 @@ class Buffer:
     def read_field_ext_vec(self, n: int, spec=host.GOLDILOCKS):
         return [self.read_field_ext(spec) for _ in range(n)]
 
-    def read_hash(self, spec=host.GOLDILOCKS) -> List[int]:
-        # HASH_SIZE = 32 bytes; GL: 4 u64 LE, BB: 8 u32 LE
+    def read_hash(self, spec=host.GOLDILOCKS, digest_bytes=None):
+        # HASH_SIZE raw bytes (reference mod.rs:253-262): HashOut = 32
+        # bytes of field elements (GL: 4 u64 LE, BB: 8 u32 LE); BytesHash
+        # (Keccak config) = digest_bytes opaque bytes
+        if digest_bytes is not None:
+            return self.read_exact(digest_bytes)
         if spec.bits > 32:
             return [struct.unpack("<Q", self.read_exact(8))[0] % spec.p
                     for _ in range(4)]
         return [struct.unpack("<I", self.read_exact(4))[0] % spec.p
                 for _ in range(8)]
 
-    def read_merkle_cap(self, cap_height: int, spec=host.GOLDILOCKS):
-        return [self.read_hash(spec) for _ in range(1 << cap_height)]
+    def read_merkle_cap(self, cap_height: int, spec=host.GOLDILOCKS,
+                        digest_bytes=None):
+        return [self.read_hash(spec, digest_bytes)
+                for _ in range(1 << cap_height)]
 
-    def read_merkle_proof(self, spec=host.GOLDILOCKS):
+    def read_merkle_proof(self, spec=host.GOLDILOCKS, digest_bytes=None):
         length = self.read_u8()
-        return [self.read_hash(spec) for _ in range(length)]
+        return [self.read_hash(spec, digest_bytes) for _ in range(length)]
 
 
 # -- config / params ----------------------------------------------------------
@@ -279,27 +285,33 @@ def read_common_circuit_data(data: bytes,
 
 
 def read_verifier_only_circuit_data(data: bytes,
-                                    spec: host.FieldSpec = host.GOLDILOCKS
-                                    ) -> VerifierOnlyCircuitData:
+                                    spec: host.FieldSpec = host.GOLDILOCKS,
+                                    hasher=None) -> VerifierOnlyCircuitData:
+    db = hasher.HASH_SIZE if getattr(hasher, "DIGEST_IS_BYTES", False) \
+        else None
     buf = Buffer(data)
     height = buf.read_usize()
-    cap = buf.read_merkle_cap(height, spec)
-    digest = buf.read_hash(spec)
+    cap = buf.read_merkle_cap(height, spec, db)
+    digest = buf.read_hash(spec, db)
     assert buf.pos == len(data)
     return VerifierOnlyCircuitData(constants_sigmas_cap=cap,
                                    circuit_digest=digest)
 
 
-def read_proof_with_public_inputs(data: bytes, common: CommonCircuitData
-                                  ) -> ProofWithPublicInputs:
-    """reference serialization/mod.rs:1023-1090."""
+def read_proof_with_public_inputs(data: bytes, common: CommonCircuitData,
+                                  hasher=None) -> ProofWithPublicInputs:
+    """reference serialization/mod.rs:1023-1090.  ``hasher`` = the config's
+    Merkle hasher; a BytesHash hasher (Keccak config) makes every digest
+    HASH_SIZE raw bytes (reference mod.rs:253-262 is generic over H)."""
     spec = common.spec
+    db = hasher.HASH_SIZE if getattr(hasher, "DIGEST_IS_BYTES", False) \
+        else None
     buf = Buffer(data)
     config = common.config
     ch = config.fri_config.cap_height
-    wires_cap = buf.read_merkle_cap(ch, spec)
-    zs_pp_cap = buf.read_merkle_cap(ch, spec)
-    quotient_cap = buf.read_merkle_cap(ch, spec)
+    wires_cap = buf.read_merkle_cap(ch, spec, db)
+    zs_pp_cap = buf.read_merkle_cap(ch, spec, db)
+    quotient_cap = buf.read_merkle_cap(ch, spec, db)
 
     # opening set (reference mod.rs:343-388; note lookup_zs read between
     # plonk_zs_next and partial_products)
@@ -323,7 +335,7 @@ def read_proof_with_public_inputs(data: bytes, common: CommonCircuitData
 
     # FRI proof (reference mod.rs:575-600)
     salt = 4 if common.fri_params.hiding else 0
-    caps = [buf.read_merkle_cap(ch, spec)
+    caps = [buf.read_merkle_cap(ch, spec, db)
             for _ in common.fri_params.reduction_arity_bits]
     query_rounds = []
     for _ in range(config.fri_config.num_query_rounds):
@@ -335,11 +347,11 @@ def read_proof_with_public_inputs(data: bytes, common: CommonCircuitData
                   config.num_challenges * common.quotient_degree_factor
                   + salt]:
             vals = buf.read_field_vec(n, spec)
-            mp = buf.read_merkle_proof(spec)
+            mp = buf.read_merkle_proof(spec, db)
             evals_proofs.append((vals, mp))
         steps = [FriQueryStep(
             evals=buf.read_field_ext_vec(1 << ar, spec),
-            merkle_proof=buf.read_merkle_proof(spec))
+            merkle_proof=buf.read_merkle_proof(spec, db))
             for ar in common.fri_params.reduction_arity_bits]
         query_rounds.append(FriQueryRound(
             initial_trees_proof=FriInitialTreeProof(evals_proofs),
@@ -400,6 +412,9 @@ class Writer:
             self.write_field_ext(v)
 
     def write_hash(self, h, spec=host.GOLDILOCKS):
+        if isinstance(h, (bytes, bytearray)):   # BytesHash (Keccak config)
+            self.out += bytes(h)
+            return
         if spec.bits > 32:
             for x in h:
                 self.out += struct.pack("<Q", int(x))

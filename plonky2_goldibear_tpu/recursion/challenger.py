@@ -12,10 +12,17 @@ from typing import List, Sequence
 
 
 class RecursiveChallenger:
-    def __init__(self, builder):
+    def __init__(self, builder, hasher=None):
+        """``hasher`` = the transcript hasher of the INNER proof being
+        replayed (reference challenger.rs:162 RecursiveChallenger<F, H:
+        AlgebraicHasher>).  Defaults to the builder's algebraic InnerHasher
+        — the builder's own Merkle hasher may be non-algebraic (Keccak
+        outer config, reference recursive_verifier.rs:623-664) and is never
+        what gets mirrored in-circuit."""
         self.b = builder
+        self.hasher = hasher or builder.inner_hasher
         zero = builder.zero()
-        self.sponge_state: List = [zero] * builder.hasher.WIDTH
+        self.sponge_state: List = [zero] * self.hasher.WIDTH
         self.input_buffer: List = []
         self.output_buffer: List = []
 
@@ -48,9 +55,9 @@ class RecursiveChallenger:
     def get_challenge(self):
         self._absorb_buffered_inputs()
         if not self.output_buffer:
-            self.sponge_state = self.b.permute(self.sponge_state)
+            self.sponge_state = self.b.permute(self.sponge_state, self.hasher)
             self.output_buffer = list(
-                self.sponge_state[: self.b.hasher.RATE])
+                self.sponge_state[: self.hasher.RATE])
         return self.output_buffer.pop()
 
     def get_n_challenges(self, n: int) -> List:
@@ -65,11 +72,11 @@ class RecursiveChallenger:
     def _absorb_buffered_inputs(self):
         if not self.input_buffer:
             return
-        rate = self.b.hasher.RATE
+        rate = self.hasher.RATE
         for i in range(0, len(self.input_buffer), rate):
             chunk = self.input_buffer[i:i + rate]
             self.sponge_state = chunk + self.sponge_state[len(chunk):]
-            self.sponge_state = self.b.permute(self.sponge_state)
+            self.sponge_state = self.b.permute(self.sponge_state, self.hasher)
         self.output_buffer = list(self.sponge_state[:rate])
         self.input_buffer.clear()
 

@@ -98,3 +98,22 @@ def test_keccak_config_tamper_rejected(keccak_proof):
     with pytest.raises((VerificationError, FriVerificationError,
                         AssertionError)):
         data.verify(bad)
+
+
+def test_keccak_config_proof_serde_roundtrip(keccak_proof):
+    """BytesHash proof serialization: every digest is HASH_SIZE raw bytes
+    (reference serialization/mod.rs:253-262 is generic over H::HASH_SIZE;
+    hash_types.rs:259-266 BytesHash to/from_bytes)."""
+    from plonky2_goldibear_tpu.plonk import serialization as serde
+    data, proof = keccak_proof
+    raw = serde.write_proof_with_public_inputs(proof, data.common)
+    back = serde.read_proof_with_public_inputs(
+        raw, data.common, hasher=keccak_hasher)
+    assert back == proof
+    vk_raw = serde.write_verifier_only_circuit_data(
+        data.verifier_only, data.common.spec)
+    vk_back = serde.read_verifier_only_circuit_data(
+        vk_raw, data.common.spec, hasher=keccak_hasher)
+    assert vk_back.circuit_digest == data.verifier_only.circuit_digest
+    assert (vk_back.constants_sigmas_cap
+            == data.verifier_only.constants_sigmas_cap)
