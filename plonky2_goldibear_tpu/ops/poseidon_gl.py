@@ -54,6 +54,14 @@ N_ROUNDS = 2 * HALF_FULL + N_PARTIAL      # 30
 _RC = np.array(C.ALL_ROUND_CONSTANTS, dtype=np.uint64).reshape(N_ROUNDS, WIDTH, 1)
 _RC_LO_NP = (_RC & 0xFFFFFFFF).astype(np.uint32)
 _RC_HI_NP = (_RC >> 32).astype(np.uint32)
+# Round constants as 16-bit planes (30, 4, 12, 1) i32: rc(r+1) is added in
+# the MDS epilogue's i32 plane stage (one i32 add per plane instead of a
+# 15-op u64 modular add per element).  Row r holds rc of round r+1; the last
+# row is zero (no constant after the final round's MDS).
+_RC16_NP = np.zeros((N_ROUNDS, 4, WIDTH, 1), dtype=np.int32)
+for _k in range(4):
+    _RC16_NP[:N_ROUNDS - 1, _k] = (
+        (_RC[1:] >> np.uint64(16 * _k)) & np.uint64(0xFFFF)).astype(np.int32)
 
 # MDS circulant as a dense (12, 12) f32 matrix, diagonal handled separately.
 _CIRC = np.zeros((WIDTH, WIDTH), dtype=np.float32)
@@ -137,11 +145,13 @@ def _sbox(x: GL) -> GL:
     return _mul(x3, x4)
 
 
-def _mds_cols(state: GL, circ) -> GL:
+def _mds_cols(state: GL, circ, rc16=None) -> GL:
     """MDS on a (12, B) column batch: fp32 MXU matmul over 16-bit limb planes.
 
     Plane sums are < 256*(2^16-1) < 2^24, exact in f32 at HIGHEST precision.
-    The diagonal +8 on row 0 is added in integer afterwards.
+    The diagonal +8 on row 0 is added in integer afterwards, as is the next
+    round's constant (``rc16``: (4, 12, 1) i32 planes) — one i32 add per
+    plane replaces a 15-op u64 modular add per element.
     """
     b = state.lo.shape[-1]
     # Mosaic has no u32->f32 cast; values are < 2^16 so go through i32.
@@ -162,7 +172,10 @@ def _mds_cols(state: GL, circ) -> GL:
         a = y[:, k * b:(k + 1) * b].astype(jnp.int32)
         # diagonal: out[0] += 8 * state[0], per 16-bit plane
         row0 = a[0:1] + d * planes[k][0:1].astype(jnp.int32)
-        accs.append(jnp.concatenate([row0, a[1:]], axis=0).astype(jnp.uint32))
+        a = jnp.concatenate([row0, a[1:]], axis=0)
+        if rc16 is not None:
+            a = a + rc16[k]
+        accs.append(a.astype(jnp.uint32))
     a0, a1, a2, a3 = accs
     # recombine a0 + a1*2^16 + a2*2^32 + a3*2^48  (< 2^75) into 96-bit words
     a1lo, a1hi = a1 << 16, a1 >> 16
@@ -179,22 +192,23 @@ def _mds_cols(state: GL, circ) -> GL:
 def _permute_cols(state: GL, consts) -> GL:
     """The full 30-round permutation on a (12, B) batch, VMEM-resident.
 
-    ``consts`` = (rc_lo_ref, rc_hi_ref, circ): the round-constant VMEM refs
-    (indexed per round — Mosaic supports dynamic indexing only on refs, not
-    on loaded values) and the loaded circulant matrix.
-    """
-    rc_lo_ref, rc_hi_ref, circ = consts
+    ``consts`` = (rc_lo_ref, rc_hi_ref, rc16_ref, circ): round-constant VMEM
+    refs (indexed per round — Mosaic supports dynamic indexing only on refs,
+    not on loaded values) and the loaded circulant matrix.
 
-    def add_rc(state: GL, r) -> GL:
-        return gl.add(state, GL(rc_lo_ref[r], rc_hi_ref[r]))
+    Round schedule is rc-folded: rc(0) is added once at entry (u64 add),
+    then every round is sbox -> MDS-with-rc(r+1)-epilogue, bit-identical to
+    the reference's add_rc -> sbox -> MDS order.
+    """
+    rc_lo_ref, rc_hi_ref, rc16_ref, circ = consts
+
+    state = gl.add(state, GL(rc_lo_ref[0], rc_hi_ref[0]))
 
     def full_round(r, state: GL) -> GL:
-        state = add_rc(state, r)
         state = _sbox(state)
-        return _mds_cols(state, circ)
+        return _mds_cols(state, circ, rc16_ref[r])
 
     def partial_round(r, state: GL) -> GL:
-        state = add_rc(state, r)
         b = state.lo.shape[-1]
         s0 = GL(state.lo[0:1], state.hi[0:1])
         if b >= 1024:
@@ -237,7 +251,7 @@ def _permute_cols(state: GL, consts) -> GL:
             s0 = _sbox(s0)
         state = GL(jnp.concatenate([s0.lo, state.lo[1:]], axis=0),
                    jnp.concatenate([s0.hi, state.hi[1:]], axis=0))
-        return _mds_cols(state, circ)
+        return _mds_cols(state, circ, rc16_ref[r])
 
     state = jax.lax.fori_loop(0, HALF_FULL, full_round, state)
     state = jax.lax.fori_loop(HALF_FULL, HALF_FULL + N_PARTIAL,
@@ -259,17 +273,17 @@ _INTERPRET = False  # set True to debug on CPU
 
 def _const_specs():
     cs = pl.BlockSpec(memory_space=pltpu.VMEM)
-    return [cs, cs, cs]
+    return [cs, cs, cs, cs]
 
 
 def _consts():
     return (jnp.asarray(_RC_LO_NP), jnp.asarray(_RC_HI_NP),
-            jnp.asarray(_CIRC))
+            jnp.asarray(_RC16_NP), jnp.asarray(_CIRC))
 
 
-def _permute_kernel(rc_lo_ref, rc_hi_ref, circ_ref, lo_ref, hi_ref,
+def _permute_kernel(rc_lo_ref, rc_hi_ref, rc16_ref, circ_ref, lo_ref, hi_ref,
                     out_lo_ref, out_hi_ref):
-    consts = (rc_lo_ref, rc_hi_ref, circ_ref[:])
+    consts = (rc_lo_ref, rc_hi_ref, rc16_ref, circ_ref[:])
     out = _permute_cols(GL(lo_ref[:], hi_ref[:]), consts)
     out_lo_ref[:] = out.lo
     out_hi_ref[:] = out.hi
@@ -306,13 +320,13 @@ def permute_cols(state: GL, tile: int | None = None) -> GL:
     return GL(lo, hi)
 
 
-def _leaves_kernel(rc_lo_ref, rc_hi_ref, circ_ref, lo_ref, hi_ref,
+def _leaves_kernel(rc_lo_ref, rc_hi_ref, rc16_ref, circ_ref, lo_ref, hi_ref,
                    out_lo_ref, out_hi_ref, *, leaf_len):
     """Overwrite-mode sponge over a (leaf_len, B) column batch, all in VMEM."""
     b = lo_ref.shape[-1]
     n_full = leaf_len // RATE
     rem = leaf_len - n_full * RATE
-    consts = (rc_lo_ref, rc_hi_ref, circ_ref[:])
+    consts = (rc_lo_ref, rc_hi_ref, rc16_ref, circ_ref[:])
     state = GL(jnp.zeros((WIDTH, b), jnp.uint32),
                jnp.zeros((WIDTH, b), jnp.uint32))
 
