@@ -32,7 +32,7 @@ import numpy as np
 def _time_dispatch(fn, args, k):
     """Seconds for one dispatch of fn(*args, k) incl. a real output fetch."""
     t0 = time.perf_counter()
-    out = fn(*args, k)
+    out = fn(*args, np.int32(k))
     for leaf in out if isinstance(out, (tuple, list)) else [out]:
         np.asarray(leaf)
     return time.perf_counter() - t0
@@ -48,8 +48,8 @@ def _marginal(fn, args, k):
     x in either direction: take min-of-3 for each dispatch time (min is the
     contention-free estimate) and require the marginal to be positive.
     """
-    _time_dispatch(fn, args, k)       # compile + warm
-    _time_dispatch(fn, args, 2 * k)
+    _time_dispatch(fn, args, k)       # compile + warm (k is dynamic: the
+    _time_dispatch(fn, args, 2 * k)   # same executable serves k and 2k)
     t1 = min(_time_dispatch(fn, args, k) for _ in range(3))
     t2 = min(_time_dispatch(fn, args, 2 * k) for _ in range(3))
     if t2 <= t1:                      # contention artifact; fall back to
@@ -73,7 +73,7 @@ def bench_poseidon_merkle():
                                        dtype=np.uint64))
     num_layers = 13 - cap_height
 
-    @functools.partial(jax.jit, static_argnums=(2,))
+    @jax.jit
     def build_k(lo, hi, k):
         def step(_, carry):
             clo, chi = carry
@@ -106,14 +106,17 @@ def bench_ntt_2e24():
     rng = np.random.default_rng(1)
     x = gl.from_ints(rng.integers(0, gl.P, size=(1, n), dtype=np.uint64))
 
-    @functools.partial(jax.jit, static_argnums=(2,))
+    @jax.jit
     def ntt_k(lo, hi, k):
         def step(_, carry):
             out = fftm.fft(gl, gl.GL(*carry))
             return (out.lo, out.hi)
 
         lo, hi = jax.lax.fori_loop(0, k, step, (lo, hi))
-        return lo, hi
+        # fetch only a slice: the full 134 MB output would make every timing
+        # a tunnel-bandwidth measurement whenever the k-vs-2k marginal falls
+        # back to amortized dispatch time under chip contention
+        return lo[..., :128], hi[..., :128]
 
     dt = _marginal(ntt_k, (x.lo, x.hi), k=4)
     return n / dt
@@ -161,6 +164,10 @@ def main():
     import signal
 
     import jax
+    # persistent compile cache: repeated bench runs (and the prove stage's
+    # many phase programs) reuse executables across processes
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     backend = jax.default_backend()
     perms_per_s = bench_poseidon_merkle()
     ntt_elems_per_s = bench_ntt_2e24()

@@ -161,7 +161,6 @@ class PolynomialBatch:
         self.degree_bits = host.log2_strict(self.degree)
         self.tree = merkle.MerkleTree(leaves, cap_height, hasher,
                                       levels=levels)
-        self._lde_host = None
 
     @classmethod
     def from_values(cls, F, values, rate_bits: int, cap_height: int,
@@ -186,16 +185,13 @@ class PolynomialBatch:
 
     # -- host-side reads -----------------------------------------------------
 
-    def lde_host(self) -> np.ndarray:
-        """Natural-order LDE values as (num_polys, lde_size) uint64."""
-        if self._lde_host is None:
-            self._lde_host = self.F.to_ints(self.lde)
-        return self._lde_host
-
     def get_lde_values(self, index: int, step: int = 1) -> List[int]:
         """All polys' LDE values at natural-order point ``index * step``
-        (reference fri/oracle.rs:153-170)."""
-        return [int(v) for v in self.lde_host()[:, index * step]]
+        (reference fri/oracle.rs:153-170).  One device gather + one transfer
+        of a single column — never materializes the LDE on the host (the
+        query path proper batches all 28 indices in merkle.prove_batch)."""
+        col = jax.tree_util.tree_map(lambda a: a[:, index * step], self.lde)
+        return [int(v) for v in self.F.to_ints(col)]
 
     def cap_host(self):
         return self.tree.cap_host()

@@ -28,11 +28,25 @@ from . import poseidon_gl
 def build_levels(leaves, num_layers: int, hasher=poseidon_gl):
     """Pure/jittable tree build: leaves (n, leaf_len) -> list of digest levels.
 
-    levels[k] has n >> k digests of width NUM_HASH_OUT; levels[-1] (the
-    ``num_layers``-th) is the cap.  Each level is one batched two_to_one call
-    — the whole build is log2(n) fused device kernels.
+    levels[k] has n >> k digests of width NUM_HASH_OUT in natural node order;
+    levels[-1] (the ``num_layers``-th) is the cap.
+
+    On TPU with the Poseidon-GL hasher the internal levels run through the
+    fused column kernels in ops/poseidon_gl.py (bit-reversed pairing; one
+    kernel for ALL levels of width <= TAIL_W) — without this, the last
+    log2(TAIL_W) levels fall below the pallas batch floor and run as ~30
+    tiny XLA rounds each, which costs more than the entire leaf sponge.
     """
-    levels = [hasher.hash_or_noop(leaves)]
+    d0 = hasher.hash_or_noop(leaves)
+    if num_layers == 0:
+        return [d0]
+    n = d0.shape[0] if hasattr(d0, "shape") else len(d0)
+    if (hasher is poseidon_gl and isinstance(d0, gl.GL) and n >= 256
+            and jax.default_backend() == "tpu"):
+        from ..ops import poseidon_gl as K
+
+        return [d0] + K.build_levels_cols(d0, num_layers)
+    levels = [d0]
     for _ in range(num_layers):
         cur = levels[-1]
         levels.append(hasher.two_to_one(cur[0::2], cur[1::2]))

@@ -209,28 +209,19 @@ def _four_step_split(n_log: int) -> Tuple[int, int]:
     return r_log, c_log
 
 
-_TWIDDLE_MAT_CACHE = {}
-
-
 def _four_step_twiddles(n_log: int, r: int, c: int) -> GL:
-    """T[k1, i2] = w_N^(k1*i2) as GL (r, c), built on device by a cumprod."""
-    key = ("gl", n_log)
-    if key not in _TWIDDLE_MAT_CACHE:
-        # ensure_compile_time_eval: this may be hit first from INSIDE a jit
-        # trace (the prover's fused programs); without it the cache would
-        # capture tracers and poison every later trace (UnexpectedTracer).
-        with jax.ensure_compile_time_eval():
-            w = host.GOLDILOCKS.two_adic_generator(n_log)
-            pw = jfft.powers(gl, w, c)                      # (c,)
-            tiled = GL(jnp.broadcast_to(pw.lo, (r - 1, c)),
-                       jnp.broadcast_to(pw.hi, (r - 1, c)))
-            body = gl.cumprod(tiled, axis=0)                # row k = pw^(k+1)
-            ones = gl.ones((1, c))
-            T = GL(jnp.concatenate([ones.lo, body.lo], axis=0),
-                   jnp.concatenate([ones.hi, body.hi], axis=0))
-        _TWIDDLE_MAT_CACHE[key] = jax.tree_util.tree_map(
-            jax.block_until_ready, T)
-    return _TWIDDLE_MAT_CACHE[key]
+    """T[k1, i2] = w_N^(k1*i2) as GL (r, c), as TRACED device ops (host power
+    row + one on-device cumprod ladder).  Never build this eagerly: under the
+    axon tunnel every eager primitive is a separate HTTP remote-compile round
+    trip (see ops/ntt_mxu._twiddles)."""
+    w = host.GOLDILOCKS.two_adic_generator(n_log)
+    pw = jfft.powers(gl, w, c)                      # (c,) host constant
+    tiled = GL(jnp.broadcast_to(pw.lo, (r - 1, c)),
+               jnp.broadcast_to(pw.hi, (r - 1, c)))
+    body = gl.cumprod(tiled, axis=0)                # row k = pw^(k+1)
+    ones = gl.ones((1, c))
+    return GL(jnp.concatenate([ones.lo, body.lo], axis=0),
+              jnp.concatenate([ones.hi, body.hi], axis=0))
 
 
 def _fft_four_step(x: GL, n_log: int) -> GL:

@@ -110,11 +110,14 @@ def _dft_matrix(r_log: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=16)
 def _w_big_np(r_log: int) -> np.ndarray:
-    """Block-banded digit matrix (N_XDIG*R, N_OUT*R) int8 for the radix-R DFT.
+    """Block-banded digit matrix (N_XDIG*R, R*N_OUT) int8 for the radix-R DFT.
 
-    W_big[j*R + i, m*R + k] = digit_{m-j}(rep(w_R^{ik}))
+    W_big[j*R + i, k*N_OUT + m] = digit_{m-j}(rep(w_R^{ik}))
     so that (digits(x) as (.., N_XDIG*R)) @ W_big yields the 15 banded plane
-    sums c_m at columns m*R + k.
+    sums c_m at columns k*N_OUT + m — i.e. the matmul output reshapes to
+    (..., R, N_OUT) with the plane axis LAST and zero data movement (the
+    column order of a constant matrix is free; an m-major order would force
+    either a strided plane slice or a materialized transpose per level).
     """
     r = 1 << r_log
     W = _dft_matrix(r_log)
@@ -123,11 +126,11 @@ def _w_big_np(r_log: int) -> np.ndarray:
         for k in range(r):
             for t, d in enumerate(_signed_digits(W[i, k])):
                 dig[t, i, k] = d
-    big = np.zeros((N_XDIG * r, N_OUT * r), dtype=np.int8)
+    big = np.zeros((N_XDIG * r, r * N_OUT), dtype=np.int8)
     for j in range(N_XDIG):
         for t in range(N_WDIG):
             m = j + t
-            big[j * r:(j + 1) * r, m * r:(m + 1) * r] = dig[t]
+            big[j * r:(j + 1) * r, m::N_OUT] = dig[t]
     return big
 
 
@@ -252,9 +255,8 @@ def dft_matmul_axis1(x: GL, r_log: int, active: int | None = None) -> GL:
     dm = dm.reshape(b, N_XDIG * k_in, m)
     c = jax.lax.dot_general(
         dm, w_big, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)          # (B, M, 15*R)
-    c = c.reshape(b, m, N_OUT, r)
-    c = jnp.swapaxes(c, -2, -1)                    # (B, M, R, 15)
+        preferred_element_type=jnp.int32)          # (B, M, R*15)
+    c = c.reshape(b, m, r, N_OUT)                  # plane axis last, free
     return planes_decode(c, corr)
 
 
@@ -281,26 +283,25 @@ def _plan(n_log: int) -> Tuple[int, ...]:
     return tuple(base + (1 if i < rem else 0) for i in range(parts))
 
 
-_TWIDDLE_CACHE = {}
-
-
 def _twiddles(m_log: int, r: int, c: int) -> GL:
-    """T[i2, k1] = w_m^{i2*k1} as GL (c, r), built on device (cached)."""
-    key = (m_log, r, c)
-    if key not in _TWIDDLE_CACHE:
-        with jax.ensure_compile_time_eval():
-            w = host.GOLDILOCKS.two_adic_generator(m_log)
-            pw = jfft.powers(gl, w, c)                       # w^{i2}
-            tiled = GL(jnp.broadcast_to(pw.lo, (r - 1, c)),
-                       jnp.broadcast_to(pw.hi, (r - 1, c)))
-            body = gl.cumprod(tiled, axis=0)                 # row k = w^{(k+1) i2}
-            ones = gl.ones((1, c))
-            T = GL(jnp.concatenate([ones.lo, body.lo], axis=0),
-                   jnp.concatenate([ones.hi, body.hi], axis=0))
-            T = GL(T.lo.T, T.hi.T)                           # (c, r)
-        _TWIDDLE_CACHE[key] = jax.tree_util.tree_map(
-            jax.block_until_ready, T)
-    return _TWIDDLE_CACHE[key]
+    """T[i2, k1] = w_m^{i2*k1} as GL (c, r), as TRACED device ops.
+
+    The base power row w^{i2} comes from the lru-cached HOST table
+    (jfft.powers); the r-row ladder is one on-device associative-scan cumprod
+    (~r*c lazy muls, microseconds at bench sizes) inside whatever program is
+    being traced.  Never build this eagerly (ensure_compile_time_eval): under
+    the axon tunnel every eager primitive is a separate HTTP remote-compile
+    round trip, which turned the first 2^24 NTT trace into a ~hour-long stall.
+    """
+    w = host.GOLDILOCKS.two_adic_generator(m_log)
+    pw = jfft.powers(gl, w, c)                       # w^{i2} (host constant)
+    tiled = GL(jnp.broadcast_to(pw.lo, (r - 1, c)),
+               jnp.broadcast_to(pw.hi, (r - 1, c)))
+    body = gl.cumprod(tiled, axis=0)                 # row k = w^{(k+1) i2}
+    ones = gl.ones((1, c))
+    T = GL(jnp.concatenate([ones.lo, body.lo], axis=0),
+           jnp.concatenate([ones.hi, body.hi], axis=0))
+    return GL(T.lo.T, T.hi.T)                        # (c, r)
 
 
 def _fft_iter(x: GL, n_log: int, zero_prefix_log: int = 0) -> GL:

@@ -302,7 +302,9 @@ def permute_cols(state: GL, tile: int | None = None) -> GL:
     """Batched permutation; state GL (12, N) with N a multiple of 128."""
     n = state.lo.shape[-1]
     if tile is None:
-        tile = _pick_tile(n, 8192)
+        # double-buffered (12, tile) u32 in/out planes + ~40 temp arrays of
+        # (12, tile) u32 during the sbox chain: keep the worst case < 12 MB
+        tile = _pick_tile(n, 4096)
     tile = min(tile, n)
     assert n % tile == 0, (n, tile)
     grid = (n // tile,)
@@ -358,8 +360,13 @@ def hash_cols_no_pad(inputs: GL, tile: int | None = None) -> GL:
     """
     leaf_len, n = inputs.lo.shape
     if tile is None:
-        # VMEM budget: 2 u32 input planes of (leaf_len, tile) + state/out
-        tile = _pick_tile(n, max(512, (6 << 20) // (leaf_len * 8)))
+        # VMEM budget: the grid pipeline DOUBLE-BUFFERS the two u32 input
+        # planes of (leaf_len, tile), so the input footprint alone is
+        # 2 (buffers) * 2 (limbs) * 4 B = 16 B per element; leave headroom
+        # for the permutation temporaries (~40 u32 arrays of (12, tile)).
+        budget = 10 << 20
+        per_col = 16 * leaf_len + 16 * NUM_HASH_OUT + 4 * 40 * WIDTH
+        tile = _pick_tile(n, max(128, budget // per_col))
     tile = min(tile, n)
     assert n % tile == 0, (n, tile)
     grid = (n // tile,)
@@ -387,3 +394,93 @@ def two_to_one_cols(x: GL, y: GL) -> GL:
                jnp.concatenate([x.hi, y.hi, zeros], axis=0))
     out = permute_cols(state)
     return out[:NUM_HASH_OUT]
+
+
+# --------------------------------------------------------------------------
+# fused tree-tail kernel: all small upper levels in ONE kernel invocation
+# --------------------------------------------------------------------------
+
+TAIL_W = 512   # level width at (and below) which the tail kernel takes over
+
+
+def _tree_tail_kernel(rc_lo_ref, rc_hi_ref, rc16_ref, circ_ref,
+                      lo_ref, hi_ref, *out_refs, num_layers):
+    """Input: digests GL (4, W) in bit-reversed node order.  Runs
+    ``num_layers`` two_to_one levels entirely in VMEM (pair (2i, 2i+1) of a
+    bit-reversed level sits at columns (i, i + w/2), so pairing is two
+    contiguous half-slices) and writes each level's digests (still
+    bit-reversed) to its own output ref."""
+    consts = (rc_lo_ref, rc_hi_ref, rc16_ref, circ_ref[:])
+    cur = GL(lo_ref[:], hi_ref[:])
+    w = cur.lo.shape[-1]
+    for k in range(num_layers):
+        h = w // 2
+        zeros = jnp.zeros((WIDTH - 2 * NUM_HASH_OUT, h), jnp.uint32)
+        st = GL(jnp.concatenate([cur.lo[:, :h], cur.lo[:, h:], zeros], axis=0),
+                jnp.concatenate([cur.hi[:, :h], cur.hi[:, h:], zeros], axis=0))
+        out = _permute_cols(st, consts)
+        cur = GL(out.lo[:NUM_HASH_OUT], out.hi[:NUM_HASH_OUT])
+        out_refs[2 * k][:] = cur.lo
+        out_refs[2 * k + 1][:] = cur.hi
+        w = h
+
+
+@functools.partial(jax.jit, static_argnames=("num_layers",))
+def tree_tail_cols(d: GL, num_layers: int):
+    """digests GL (4, W) bit-reversed -> [GL (4, W/2), ..., GL (4, W/2^L)],
+    every level bit-reversed, computed by one pallas_call."""
+    w = d.lo.shape[-1]
+    assert w >= (1 << num_layers) and num_layers >= 1
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    shapes = []
+    for k in range(1, num_layers + 1):
+        s = jax.ShapeDtypeStruct((NUM_HASH_OUT, w >> k), jnp.uint32)
+        shapes.extend([s, s])
+    outs = pl.pallas_call(
+        functools.partial(_tree_tail_kernel, num_layers=num_layers),
+        in_specs=_const_specs() + [spec, spec],
+        out_specs=tuple(spec for _ in shapes),
+        out_shape=tuple(shapes),
+        interpret=_INTERPRET,
+    )(*_consts(), d.lo, d.hi)
+    return [GL(outs[2 * k], outs[2 * k + 1]) for k in range(num_layers)]
+
+
+def _bitrev_cols(x: GL, inverse: bool = False) -> GL:
+    """Permute the column axis of GL (4, W) by index bit-reversal."""
+    from ..field import fft as jfft
+    from ..field import host as _host
+
+    n = x.lo.shape[-1]
+    perm = jfft._bitrev_perm(_host.log2_strict(n))  # involution: inv == fwd
+    return GL(x.lo[:, perm], x.hi[:, perm])
+
+
+def build_levels_cols(d0: GL, num_layers: int):
+    """Internal Merkle levels from leaf digests GL (n, 4) row-major natural:
+    returns [level_1, ..., cap] each as GL (w, 4) row-major natural order.
+
+    Pipeline: one transpose+bit-reversal up front, then every level is a
+    contiguous-halves two_to_one (bit-reversed pairing) — big levels as grid
+    kernels, all levels of width <= TAIL_W fused into ONE kernel — and one
+    un-reversal gather + transpose per emitted level (O(digests) data
+    movement; the digest tree total is < 2x the leaf-digest row).
+    """
+    n = d0.lo.shape[0]
+    cur = _bitrev_cols(GL(d0.lo.T, d0.hi.T))            # (4, n) bitrev
+    levels_cols = []
+    w = n
+    layers_left = num_layers
+    while layers_left > 0 and w > TAIL_W:
+        half = w // 2
+        cur = two_to_one_cols(cur[:, :half], cur[:, half:])
+        levels_cols.append(cur)
+        w = half
+        layers_left -= 1
+    if layers_left > 0:
+        levels_cols.extend(tree_tail_cols(cur, layers_left))
+    out = []
+    for lv in levels_cols:
+        nat = _bitrev_cols(lv)
+        out.append(GL(nat.lo.T, nat.hi.T))              # (w, 4) natural rows
+    return out

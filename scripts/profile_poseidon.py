@@ -47,13 +47,13 @@ def bench_permute(n, tile, k=8):
     rng = np.random.default_rng(0)
     x = gl.from_ints(rng.integers(0, gl.P, size=(12, n), dtype=np.uint64))
 
-    @functools.partial(jax.jit, static_argnames=("kk",))
+    @jax.jit
     def run(lo, hi, kk):
         def body(_, st):
             r = kp.permute_cols(GL(st[0], st[1]), tile=tile)
             return (r.lo, r.hi)
         lo, hi = jax.lax.fori_loop(0, kk, body, (lo, hi))
-        return lo, hi
+        return lo[:, :128], hi[:, :128]   # tiny fetch (tunnel-proof)
 
     dt = marginal(run, (x.lo, x.hi), k)
     return n / dt
@@ -65,7 +65,7 @@ def bench_sponge(n, leaf_len=135, k=4):
                                   dtype=np.uint64))
     perms = -(-leaf_len // 8)
 
-    @functools.partial(jax.jit, static_argnames=("kk",))
+    @jax.jit
     def run(lo, hi, kk):
         def body(_, st):
             lo2, hi2 = st
@@ -75,7 +75,7 @@ def bench_sponge(n, leaf_len=135, k=4):
             hi3 = hi2.at[:4].set(d.hi)
             return (lo3, hi3)
         lo, hi = jax.lax.fori_loop(0, kk, body, (lo, hi))
-        return lo, hi
+        return lo[:4, :128], hi[:4, :128]   # tiny fetch (tunnel-proof)
 
     dt = marginal(run, (x.lo, x.hi), k)
     return n * perms / dt
@@ -104,7 +104,7 @@ def bench_mulchain(n=65536, reps=64, k=8):
             in_specs=[spec, spec], out_specs=(spec, spec),
             out_shape=(osh, osh))(lo, hi)
 
-    @functools.partial(jax.jit, static_argnames=("kk",))
+    @jax.jit
     def run(lo, hi, kk):
         def body(_, st):
             return call(st[0], st[1], reps)
@@ -135,7 +135,7 @@ def bench_sboxchain(n=65536, reps=16, k=8):
             in_specs=[spec, spec], out_specs=(spec, spec),
             out_shape=(osh, osh))(lo, hi)
 
-    @functools.partial(jax.jit, static_argnames=("kk",))
+    @jax.jit
     def run(lo, hi, kk):
         def body(_, st):
             return call(st[0], st[1])
@@ -145,9 +145,36 @@ def bench_sboxchain(n=65536, reps=16, k=8):
     return n * reps / dt        # sboxes/s
 
 
+def bench_tree(n_leaves=1 << 13, leaf_len=135, cap_height=4, k=8):
+    """Full build_levels (the bench.py workload): perms/s including the
+    two_to_one internal levels — compare against bench_sponge to see how
+    much the small upper levels cost."""
+    from plonky2_goldibear_tpu.hash import merkle
+
+    rng = np.random.default_rng(0)
+    leaves = gl.from_ints(rng.integers(0, gl.P, size=(n_leaves, leaf_len),
+                                       dtype=np.uint64))
+    num_layers = int(np.log2(n_leaves)) - cap_height
+
+    @jax.jit
+    def run(lo, hi, kk):
+        def body(_, st):
+            clo, chi = st
+            cap = merkle.build_levels(GL(clo, chi), num_layers)[-1]
+            clo = clo ^ (cap.lo[0, 0] & 1)
+            return (clo, chi)
+        lo, hi = jax.lax.fori_loop(0, kk, body, (lo, hi))
+        cap = merkle.build_levels(GL(lo, hi), num_layers)[-1]
+        return cap.lo, cap.hi
+
+    perms = n_leaves * (-(-leaf_len // 8)) + n_leaves - (1 << cap_height)
+    dt = marginal(run, (leaves.lo, leaves.hi), k)
+    return perms / dt
+
+
 def main():
     out = {}
-    for tile in (2048, 4096, 8192):
+    for tile in (2048, 4096):
         v = bench_permute(1 << 16, tile)
         out[f"permute_t{tile}"] = round(v / 1e6, 1)
         print(json.dumps({f"permute_t{tile}_Mperms_s": out[f"permute_t{tile}"]}),
@@ -155,6 +182,9 @@ def main():
     v = bench_sponge(1 << 13)
     out["sponge_2e13x135"] = round(v / 1e6, 1)
     print(json.dumps({"sponge_Mperms_s": out["sponge_2e13x135"]}), flush=True)
+    v = bench_tree()
+    out["tree_2e13x135"] = round(v / 1e6, 1)
+    print(json.dumps({"tree_Mperms_s": out["tree_2e13x135"]}), flush=True)
     v = bench_mulchain()
     out["gl_mul_G_per_s"] = round(v / 1e9, 2)
     print(json.dumps({"gl_mul_G_per_s": out["gl_mul_G_per_s"]}), flush=True)

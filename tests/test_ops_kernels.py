@@ -6,6 +6,7 @@ by the bench driver.  Mirrors the reference's consistency discipline
 (poseidon_goldilocks.rs:1196 scalar-vs-optimized `consistency` test).
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -91,4 +92,83 @@ def test_ntt_kernel_zero_prefix():
         [c, np.zeros((b, n * ((1 << r) - 1)), dtype=np.uint64)], axis=1)
     out = NTT.fft(gl.from_ints(padded), zero_prefix_log=r)
     ref = fftm.fft(gl, gl.from_ints(padded))
+    np.testing.assert_array_equal(gl.to_ints(out), gl.to_ints(ref))
+
+
+def test_tree_levels_cols_matches_jnp():
+    """Fused bit-reversed tree build vs the generic two_to_one loop."""
+    import plonky2_goldibear_tpu.ops.poseidon_gl as K
+    from plonky2_goldibear_tpu.hash import merkle
+
+    rng = np.random.default_rng(9)
+    n, leaf_len, num_layers = 1024, 7, 6   # tail kernel covers all levels
+    leaves = gl.from_ints(
+        rng.integers(0, gl.P, size=(n, leaf_len), dtype=np.uint64))
+    d0 = H.hash_or_noop(leaves)
+    got = K.build_levels_cols(d0, num_layers)
+    ref = [d0]
+    for _ in range(num_layers):
+        cur = ref[-1]
+        ref.append(H.two_to_one(cur[0::2], cur[1::2]))
+    assert len(got) == num_layers
+    for lv_got, lv_ref in zip(got, ref[1:]):
+        np.testing.assert_array_equal(gl.to_ints(lv_got), gl.to_ints(lv_ref))
+
+
+def test_tree_levels_cols_mixed_grid_and_tail():
+    """n large enough that grid-level two_to_one runs before the tail."""
+    import plonky2_goldibear_tpu.ops.poseidon_gl as K
+
+    rng = np.random.default_rng(10)
+    n, num_layers = 2048, 8
+    d0 = gl.from_ints(rng.integers(0, gl.P, size=(n, 4), dtype=np.uint64))
+    got = K.build_levels_cols(d0, num_layers)
+    ref = [d0]
+    for _ in range(num_layers):
+        cur = ref[-1]
+        ref.append(H.two_to_one(cur[0::2], cur[1::2]))
+    for lv_got, lv_ref in zip(got, ref[1:]):
+        np.testing.assert_array_equal(gl.to_ints(lv_got), gl.to_ints(lv_ref))
+
+
+def test_ntt_mxu_matches_jnp():
+    """MXU digit-plane NTT vs the jnp reference, several shapes/radix plans."""
+    import plonky2_goldibear_tpu.ops.ntt_mxu as M
+    from plonky2_goldibear_tpu.field import fft as fftm
+
+    rng = np.random.default_rng(6)
+    for b, n in [(1, 64), (3, 128), (2, 512), (1, 4096), (1, 1 << 13)]:
+        x = rng.integers(0, gl.P, size=(b, n), dtype=np.uint64)
+        g = gl.from_ints(x)
+        out = M.fft(g)
+        ref = fftm.fft(gl, g)
+        np.testing.assert_array_equal(gl.to_ints(out), gl.to_ints(ref))
+
+
+def test_ntt_mxu_zero_prefix():
+    import plonky2_goldibear_tpu.ops.ntt_mxu as M
+    from plonky2_goldibear_tpu.field import fft as fftm
+
+    rng = np.random.default_rng(7)
+    for b, n, r in [(2, 256, 3), (1, 2048, 3), (1, 512, 1)]:
+        c = rng.integers(0, gl.P, size=(b, n), dtype=np.uint64)
+        padded = np.concatenate(
+            [c, np.zeros((b, n * ((1 << r) - 1)), dtype=np.uint64)], axis=1)
+        out = M.fft(gl.from_ints(padded), zero_prefix_log=r)
+        ref = fftm.fft(gl, gl.from_ints(padded))
+        np.testing.assert_array_equal(gl.to_ints(out), gl.to_ints(ref))
+
+
+def test_ntt_mxu_noncanonical_input():
+    """The MXU path accepts any u64 input (lazy values from prior stages)."""
+    import plonky2_goldibear_tpu.ops.ntt_mxu as M
+    from plonky2_goldibear_tpu.field import fft as fftm
+
+    rng = np.random.default_rng(8)
+    raw = rng.integers(0, 2**64 - 1, size=(2, 128), dtype=np.uint64)
+    x = gl.GL(jnp.asarray((raw & 0xFFFFFFFF).astype(np.uint32)),
+              jnp.asarray((raw >> np.uint64(32)).astype(np.uint32)))
+    canon = gl.from_ints(raw % gl.P)
+    out = M.fft(x)
+    ref = fftm.fft(gl, canon)
     np.testing.assert_array_equal(gl.to_ints(out), gl.to_ints(ref))
