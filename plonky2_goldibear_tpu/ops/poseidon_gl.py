@@ -406,20 +406,43 @@ TAIL_W = 512   # level width at (and below) which the tail kernel takes over
 def _tree_tail_kernel(rc_lo_ref, rc_hi_ref, rc16_ref, circ_ref,
                       lo_ref, hi_ref, *out_refs, num_layers):
     """Input: digests GL (4, W) in bit-reversed node order.  Runs
-    ``num_layers`` two_to_one levels entirely in VMEM (pair (2i, 2i+1) of a
-    bit-reversed level sits at columns (i, i + w/2), so pairing is two
-    contiguous half-slices) and writes each level's digests (still
-    bit-reversed) to its own output ref."""
+    ``num_layers`` two_to_one levels entirely in VMEM and writes each
+    level's digests (still bit-reversed) to its own output ref.
+
+    Pairing of a bit-reversed level of width w puts node pair (2i, 2i+1) at
+    columns (j, j + w/2) with j = rev(2i), and the PARENT of that pair lands
+    at column j of the parent level — so one roll by w/2 aligns every
+    partner onto its pair and the parent level is the output's j < w/2
+    PREFIX.  While w/2 >= 128 the halves are tile-aligned slices; below one
+    lane tile Mosaic cannot lower sub-tile vector offsets (concat "offset
+    mismatch"), so deep levels keep the vector 128 lanes wide with only the
+    leading w lanes valid (the wasted lanes hash garbage) — emitted 128
+    wide, prefix-sliced by the caller in XLA.
+    """
     consts = (rc_lo_ref, rc_hi_ref, rc16_ref, circ_ref[:])
     cur = GL(lo_ref[:], hi_ref[:])
     w = cur.lo.shape[-1]
+    zrows = WIDTH - 2 * NUM_HASH_OUT
     for k in range(num_layers):
         h = w // 2
-        zeros = jnp.zeros((WIDTH - 2 * NUM_HASH_OUT, h), jnp.uint32)
-        st = GL(jnp.concatenate([cur.lo[:, :h], cur.lo[:, h:], zeros], axis=0),
+        if h >= 128:
+            # dense halves: slices at 128-multiples are tile-aligned
+            zeros = jnp.zeros((zrows, h), jnp.uint32)
+            st = GL(
+                jnp.concatenate([cur.lo[:, :h], cur.lo[:, h:], zeros], axis=0),
                 jnp.concatenate([cur.hi[:, :h], cur.hi[:, h:], zeros], axis=0))
-        out = _permute_cols(st, consts)
-        cur = GL(out.lo[:NUM_HASH_OUT], out.hi[:NUM_HASH_OUT])
+            out = _permute_cols(st, consts)
+            cur = GL(out.lo[:NUM_HASH_OUT], out.hi[:NUM_HASH_OUT])
+        else:
+            # narrow: fixed 128 lanes, valid prefix w; partner j+h -> j
+            lanes = cur.lo.shape[-1]   # 128 (or the sub-128 tail input)
+            zeros = jnp.zeros((zrows, lanes), jnp.uint32)
+            rl = pltpu.roll(cur.lo, lanes - h, 1)
+            rh = pltpu.roll(cur.hi, lanes - h, 1)
+            st = GL(jnp.concatenate([cur.lo, rl, zeros], axis=0),
+                    jnp.concatenate([cur.hi, rh, zeros], axis=0))
+            out = _permute_cols(st, consts)
+            cur = GL(out.lo[:NUM_HASH_OUT], out.hi[:NUM_HASH_OUT])
         out_refs[2 * k][:] = cur.lo
         out_refs[2 * k + 1][:] = cur.hi
         w = h
@@ -430,11 +453,17 @@ def tree_tail_cols(d: GL, num_layers: int):
     """digests GL (4, W) bit-reversed -> [GL (4, W/2), ..., GL (4, W/2^L)],
     every level bit-reversed, computed by one pallas_call."""
     w = d.lo.shape[-1]
-    assert w >= (1 << num_layers) and num_layers >= 1
+    assert w >= (1 << num_layers) and num_layers >= 1 and w >= 128
     spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     shapes = []
-    for k in range(1, num_layers + 1):
-        s = jax.ShapeDtypeStruct((NUM_HASH_OUT, w >> k), jnp.uint32)
+    widths = []      # (emitted_width, valid_width) per level
+    cw = w
+    for _ in range(num_layers):
+        h = cw // 2
+        widths.append((h, h) if h >= 128 else (128, h))
+        cw = h
+    for ww, _ in widths:
+        s = jax.ShapeDtypeStruct((NUM_HASH_OUT, ww), jnp.uint32)
         shapes.extend([s, s])
     outs = pl.pallas_call(
         functools.partial(_tree_tail_kernel, num_layers=num_layers),
@@ -443,7 +472,13 @@ def tree_tail_cols(d: GL, num_layers: int):
         out_shape=tuple(shapes),
         interpret=_INTERPRET,
     )(*_consts(), d.lo, d.hi)
-    return [GL(outs[2 * k], outs[2 * k + 1]) for k in range(num_layers)]
+    levels = []
+    for k, (ww, valid) in enumerate(widths):
+        lv = GL(outs[2 * k], outs[2 * k + 1])
+        if valid < ww:
+            lv = GL(lv.lo[:, :valid], lv.hi[:, :valid])
+        levels.append(lv)
+    return levels
 
 
 def _bitrev_cols(x: GL, inverse: bool = False) -> GL:

@@ -625,20 +625,49 @@ def _internal_prove(prover_data, common, witness: np.ndarray,
 # -- openings (reference plonk/proof.rs:347-386) ------------------------------
 
 
-def _ext_powers_device(F, zeta, n: int):
-    """[1, z, z^2, ..., z^(n-1)] as a device ext array, via log-doubling
-    (each step doubles the vector with one batched ext multiply)."""
-    spec = F.SPEC
-    E = _ext_ops(F)
+def _ext_powers_traced(E, zeta_dev, n: int):
+    """[1, z, ..., z^(n-1)] as traced device ext arrays via log-doubling
+    (pows_{2L} = pows_L ++ pows_L * z^L, z^{2L} = (z^L)^2) — must run inside
+    a jitted program: eagerly through the TPU tunnel every jnp primitive is
+    a separate RPC, which made the opening phase take ~14 s/proof."""
     pows = E.ones((1,))
+    z_pow = zeta_dev                       # ext scalar, shapes ()
     length = 1
     while length < n:
-        z_pow = host.ext_pow(spec, zeta, length)
-        shifted = E.mul_const(pows, z_pow)
+        shifted = E.mul(pows, z_pow)
         pows = tuple(fftm.tconcat([a, b], axis=-1)
                      for a, b in zip(pows, shifted))
+        z_pow = E.mul(z_pow, z_pow)
         length *= 2
     return tuple(tree_map(lambda a: a[:n], c) for c in pows)
+
+
+@_partial(jax.jit, static_argnums=(0, 1))
+def _eval_commitments_jit(F, point_ids, coeff_batches, points):
+    """ONE program: each coeff batch (P_i, n) evaluated at its opening point.
+
+    point_ids: static tuple, per batch an index into ``points`` (traced ext
+    scalars).  Returns per batch a tuple of D (P_i,) arrays.
+    """
+    E = _ext_ops(F)
+    n = fftm.tshape(coeff_batches[0])[-1]
+    pows_cache = {}
+    outs = []
+    for pid, coeffs in zip(point_ids, coeff_batches):
+        if pid not in pows_cache:
+            pows_cache[pid] = _ext_powers_traced(E, points[pid], n)
+        pows = pows_cache[pid]
+        evals = []
+        for d in range(E.D):
+            prod = F.mul(coeffs, tree_map(lambda a: a[None, :], pows[d]))
+            evals.append(F.batch_sum(prod, axis=-1))
+        outs.append(tuple(evals))
+    return tuple(outs)
+
+
+def _ext_scalar_dev(F, value):
+    arr = F.from_ints(np.array(list(value), dtype=np.uint64))
+    return tuple(tree_map(lambda a: a[d], arr) for d in range(len(value)))
 
 
 def eval_commitment_at(F, zeta, batch: PolynomialBatch) -> List[Tuple]:
@@ -646,13 +675,9 @@ def eval_commitment_at(F, zeta, batch: PolynomialBatch) -> List[Tuple]:
     extension point: coeffs (P, n) dot ext-powers (n,) (reference
     proof.rs:359-364 does a parallel per-poly Horner)."""
     E = _ext_ops(F)
-    n = fftm.tshape(batch.coeffs)[-1]
-    pows = _ext_powers_device(F, zeta, n)
-    out_coeffs = []
-    for d in range(E.D):
-        prod = F.mul(batch.coeffs, tree_map(lambda a: a[None, :], pows[d]))
-        out_coeffs.append(F.batch_sum(prod, axis=-1))
-    host_vals = [F.to_ints(c) for c in out_coeffs]
+    (evals,) = _eval_commitments_jit(
+        F, (0,), (batch.coeffs,), (_ext_scalar_dev(F, zeta),))
+    host_vals = [F.to_ints(c) for c in evals]
     num_polys = fftm.tshape(batch.coeffs)[0]
     return [tuple(int(host_vals[d][i]) for d in range(E.D))
             for i in range(num_polys)]
@@ -664,11 +689,35 @@ def _opening_set(F, common, zeta, oracles) -> OpeningSet:
     zeta_next = host.ext_scalar_mul(spec, zeta, g)
     constants_sigmas, wires, zs_pp, quotient = oracles
 
-    cs_eval = eval_commitment_at(F, zeta, constants_sigmas)
-    wires_eval = eval_commitment_at(F, zeta, wires)
-    zs_pp_eval = eval_commitment_at(F, zeta, zs_pp)
-    zs_pp_next_eval = eval_commitment_at(F, zeta_next, zs_pp)
-    quotient_eval = eval_commitment_at(F, zeta, quotient)
+    E = _ext_ops(F)
+    points = (_ext_scalar_dev(F, zeta), _ext_scalar_dev(F, zeta_next))
+    all_evals = _eval_commitments_jit(
+        F, (0, 0, 0, 1, 0),
+        (constants_sigmas.coeffs, wires.coeffs, zs_pp.coeffs, zs_pp.coeffs,
+         quotient.coeffs),
+        points)
+    # ONE stacked fetch for every opening value
+    flat = [a for evals in all_evals for a in evals]
+    widths = [fftm.tshape(a)[0] for a in flat]
+    stacked = F.to_ints(tree_map(
+        lambda *ls: jnp.concatenate(ls, axis=0), *flat))
+    pieces = []
+    off = 0
+    for w in widths:
+        pieces.append(stacked[off:off + w])
+        off += w
+    it = iter(range(len(flat)))
+
+    def unpack(evals):
+        idxs = [next(it) for _ in range(E.D)]
+        num = len(pieces[idxs[0]])
+        return [tuple(int(pieces[i][j]) for i in idxs) for j in range(num)]
+
+    cs_eval = unpack(all_evals[0])
+    wires_eval = unpack(all_evals[1])
+    zs_pp_eval = unpack(all_evals[2])
+    zs_pp_next_eval = unpack(all_evals[3])
+    quotient_eval = unpack(all_evals[4])
 
     c0, c1 = common.constants_range()
     s0, s1 = common.sigmas_range()

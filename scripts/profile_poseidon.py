@@ -27,15 +27,23 @@ from plonky2_goldibear_tpu.field.gl import GL
 from plonky2_goldibear_tpu.ops import poseidon_gl as kp
 
 
+def _fetch(out):
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(leaf)
+
+
 def _t(run, args, k):
+    # block_until_ready is NOT trustworthy through the axon tunnel (it can
+    # return at dispatch-ack time, yielding absurd throughputs); every
+    # timing must FETCH real output bytes.  Outputs are pre-sliced small.
     t0 = time.perf_counter()
-    jax.block_until_ready(run(*args, k))
+    _fetch(run(*args, k))
     return time.perf_counter() - t0
 
 
 def marginal(run, args, k):
-    jax.block_until_ready(run(*args, k))
-    jax.block_until_ready(run(*args, 2 * k))
+    _fetch(run(*args, k))
+    _fetch(run(*args, 2 * k))
     t1 = min(_t(run, args, k) for _ in range(3))
     t2 = min(_t(run, args, 2 * k) for _ in range(3))
     if t2 <= t1:
@@ -174,7 +182,15 @@ def bench_tree(n_leaves=1 << 13, leaf_len=135, cap_height=4, k=8):
 
 def main():
     out = {}
-    for tile in (2048, 4096):
+    v = bench_mulchain()
+    out["gl_mul_G_per_s"] = round(v / 1e9, 2)
+    print(json.dumps({"gl_mul_G_per_s": out["gl_mul_G_per_s"]}), flush=True)
+    v = bench_sboxchain()
+    out["sbox_G_per_s"] = round(v / 1e9, 3)
+    print(json.dumps({"sbox_G_per_s": out["sbox_G_per_s"]}), flush=True)
+    # small tiles keep each (12, tile) op array in few vector registers —
+    # if the 30-round chain is spill-bound, small tiles should win big
+    for tile in (128, 256, 512, 1024, 2048, 4096):
         v = bench_permute(1 << 16, tile)
         out[f"permute_t{tile}"] = round(v / 1e6, 1)
         print(json.dumps({f"permute_t{tile}_Mperms_s": out[f"permute_t{tile}"]}),
@@ -185,12 +201,6 @@ def main():
     v = bench_tree()
     out["tree_2e13x135"] = round(v / 1e6, 1)
     print(json.dumps({"tree_Mperms_s": out["tree_2e13x135"]}), flush=True)
-    v = bench_mulchain()
-    out["gl_mul_G_per_s"] = round(v / 1e9, 2)
-    print(json.dumps({"gl_mul_G_per_s": out["gl_mul_G_per_s"]}), flush=True)
-    v = bench_sboxchain()
-    out["sbox_G_per_s"] = round(v / 1e9, 3)
-    print(json.dumps({"sbox_G_per_s": out["sbox_G_per_s"]}), flush=True)
     # model: perms/s implied by sbox throughput alone (118 sboxes/perm,
     # 96 of them in full rounds at 12 lanes + 22 partial at ~1 lane)
     print(json.dumps(out))
