@@ -135,11 +135,25 @@ def _fft_fused(x: GL, n_log: int, start_stage: int = 0) -> GL:
     b_count, n = x.lo.shape
     assert n == 1 << n_log and n >= LANES
     rows_per_poly = n // LANES
+    # Mosaic block floor: the sublane dim of a block must be a multiple of 8
+    # (or the whole array).  For short polys (rows_per_poly < 8) pad the
+    # batch with zero polys so a multiple-of-8-row tile always exists.
+    pad_b = 0
+    if rows_per_poly < 8:
+        k = 8 // rows_per_poly
+        pad_b = (-b_count) % k
+        if pad_b:
+            zz = jnp.zeros((pad_b, n), jnp.uint32)
+            x = GL(jnp.concatenate([x.lo, zz], axis=0),
+                   jnp.concatenate([x.hi, zz], axis=0))
+            b_count += pad_b
     # pick the largest power-of-two batch tile that divides B within budget
     b_tile = 1
     while (b_tile * 2 <= b_count and b_count % (b_tile * 2) == 0
            and b_tile * 2 * n <= FUSE_LIMIT):
         b_tile *= 2
+    assert b_tile * rows_per_poly >= 8 or b_tile == b_count, \
+        (b_count, n, b_tile)
     grid = (b_count // b_tile,)
     tile_rows = b_tile * rows_per_poly
 
@@ -164,7 +178,10 @@ def _fft_fused(x: GL, n_log: int, start_stage: int = 0) -> GL:
         out_shape=(osh, osh),
         interpret=_pk._INTERPRET,
     )(ts_lo, ts_hi, tb_lo, tb_hi, x2_lo, x2_hi)
-    return GL(lo.reshape(b_count, n), hi.reshape(b_count, n))
+    out = GL(lo.reshape(b_count, n), hi.reshape(b_count, n))
+    if pad_b:
+        out = GL(out.lo[:b_count - pad_b], out.hi[:b_count - pad_b])
+    return out
 
 
 def fft(x: GL, zero_prefix_log: int = 0) -> GL:
