@@ -105,8 +105,14 @@ FORCE_JNP = False  # set True to bypass the ops/ kernel (tests, cpu-pinned)
 
 
 def _use_pallas_ntt(F, n: int) -> bool:
-    """Trace-time dispatch to the fused ops/ntt.py kernel (TPU, GL, n>=256)."""
-    return (not FORCE_JNP and F is gl_mod and n >= 256
+    """Trace-time dispatch to the fused ops/ntt.py kernel (TPU, GL, n>=256).
+
+    PLONKY2_TPU_DISABLE_NTT=1 forces the jnp path (TPU-prove bisection)."""
+    import os
+
+    if FORCE_JNP or os.environ.get("PLONKY2_TPU_DISABLE_NTT"):
+        return False
+    return (F is gl_mod and n >= 256
             and jax.default_backend() == "tpu")
 
 

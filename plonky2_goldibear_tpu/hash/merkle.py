@@ -56,8 +56,10 @@ def build_levels(leaves, num_layers: int, hasher=poseidon_gl):
     if num_layers == 0:
         return [d0]
     n = d0.shape[0] if hasattr(d0, "shape") else len(d0)
+    import os
     if (hasher is poseidon_gl and isinstance(d0, gl.GL) and n >= 256
-            and jax.default_backend() == "tpu"):
+            and jax.default_backend() == "tpu"
+            and not os.environ.get("PLONKY2_TPU_DISABLE_MERKLE")):
         from ..ops import poseidon_gl as K
 
         return [d0] + K.build_levels_cols(d0, num_layers)
