@@ -107,10 +107,12 @@ FORCE_JNP = False  # set True to bypass the ops/ kernel (tests, cpu-pinned)
 def _use_pallas_ntt(F, n: int) -> bool:
     """Trace-time dispatch to the fused ops/ntt.py kernel (TPU, GL, n>=256).
 
-    PLONKY2_TPU_DISABLE_NTT=1 forces the jnp path (TPU-prove bisection)."""
-    import os
+    PLONKY2_TPU_DISABLE_NTT=1 forces the jnp path (TPU-prove bisection).
+    Trace-time decision: flipping the env var does not affect programs
+    already jitted in this process."""
+    from ..utils.envflags import env_flag
 
-    if FORCE_JNP or os.environ.get("PLONKY2_TPU_DISABLE_NTT"):
+    if FORCE_JNP or env_flag("PLONKY2_TPU_DISABLE_NTT"):
         return False
     return (F is gl_mod and n >= 256
             and jax.default_backend() == "tpu")
@@ -130,8 +132,59 @@ def fft(F, x, roots=None, zero_prefix_log: int = 0):
         return x
     if _use_pallas_ntt(F, n):
         from ..ops import ntt as ntt_ops
+        from ..utils.envflags import env_flag
 
-        return ntt_ops.fft(x, zero_prefix_log=zero_prefix_log)
+        out = ntt_ops.fft(x, zero_prefix_log=zero_prefix_log)
+        if env_flag("PLONKY2_TPU_NTT_CHECK"):
+            # shadow-compare against the jnp semantic reference in-trace:
+            # catches divergence on the *actual prove data* (shapes AND
+            # values), which random-input audits can miss.  NOTE: needs a
+            # backend with host-callback support (not the axon tunnel).
+            ref = _fft_jnp(F, x, None, zero_prefix_log)
+            bad = jnp.sum(jnp.logical_not(
+                jax.tree_util.tree_reduce(
+                    jnp.logical_and,
+                    tree_map(lambda a, b: a == b, out, ref))))
+            jax.debug.print(
+                "NTT_CHECK shape=" + str(tshape(x)) + " r="
+                + str(zero_prefix_log) + " mismatches={bad}", bad=bad)
+        return out
+    out = _fft_jnp(F, x, roots, zero_prefix_log)
+    if F is gl_mod:
+        _maybe_dump_ntt(x, out, zero_prefix_log)
+    return out
+
+
+_DUMP_SEQ = [0]
+
+
+def _maybe_dump_ntt(x, out, r: int):
+    """PLONKY2_TPU_NTT_DUMP=<dir>: save every jnp-path GL NTT call's real
+    input+output to <dir>/ntt_<seq>.npz (ordered io_callback; CPU-backend
+    debugging aid for replaying real prove data through the ops/ kernel)."""
+    import os
+
+    d = os.environ.get("PLONKY2_TPU_NTT_DUMP")
+    if not d:
+        return
+    from jax.experimental import io_callback
+
+    seq = _DUMP_SEQ[0]
+    _DUMP_SEQ[0] += 1
+
+    def _save(xlo, xhi, olo, ohi, _seq=seq, _r=r, _d=d):
+        np.savez(os.path.join(_d, f"ntt_{_seq:04d}.npz"),
+                 xlo=np.asarray(xlo), xhi=np.asarray(xhi),
+                 olo=np.asarray(olo), ohi=np.asarray(ohi),
+                 r=np.int32(_r))
+
+    io_callback(_save, None, x.lo, x.hi, out.lo, out.hi, ordered=True)
+
+
+def _fft_jnp(F, x, roots=None, zero_prefix_log: int = 0):
+    """The pure-jnp NTT body (semantic reference for the ops/ kernel)."""
+    n = tshape(x)[-1]
+    n_log = host.log2_strict(n)
     if roots is None:
         roots = root_table(F, n_log)
     shape = tshape(x)

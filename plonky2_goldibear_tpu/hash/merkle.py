@@ -56,10 +56,15 @@ def build_levels(leaves, num_layers: int, hasher=poseidon_gl):
     if num_layers == 0:
         return [d0]
     n = d0.shape[0] if hasattr(d0, "shape") else len(d0)
-    import os
+    from ..utils.envflags import env_flag
+
+    # DISABLE_POSEIDON also gates this dispatch: build_levels_cols invokes
+    # the Poseidon Pallas kernels internally, so the poseidon kill switch
+    # must remove it too for the bisect modes to be orthogonal.
     if (hasher is poseidon_gl and isinstance(d0, gl.GL) and n >= 256
             and jax.default_backend() == "tpu"
-            and not os.environ.get("PLONKY2_TPU_DISABLE_MERKLE")):
+            and not env_flag("PLONKY2_TPU_DISABLE_MERKLE")
+            and not env_flag("PLONKY2_TPU_DISABLE_POSEIDON")):
         from ..ops import poseidon_gl as K
 
         return [d0] + K.build_levels_cols(d0, num_layers)

@@ -308,11 +308,11 @@ def _use_pallas(batch: int) -> bool:
     Shapes are static under jit, so this is a trace-time decision; the jnp
     path remains the semantic reference (and the CPU/test path).
     """
-    import os
-
     import jax
 
-    if os.environ.get("PLONKY2_TPU_DISABLE_POSEIDON"):
+    from ..utils.envflags import env_flag
+
+    if env_flag("PLONKY2_TPU_DISABLE_POSEIDON"):
         return False
     return (jax.default_backend() == "tpu" and batch >= 128
             and batch % 128 == 0)

@@ -80,6 +80,23 @@ def _limbs(a: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
             jnp.asarray((a >> np.uint64(32)).astype(np.uint32)))
 
 
+def _canon(a: GL) -> GL:
+    """One conditional subtract of p: [0, 2^64) lazy -> canonical (< p).
+
+    The butterfly's gl.add/gl.sub are only exact when their operands keep
+    the sum below 2^64 + p (add) resp. the difference above -p (sub);
+    a lazy _mul output in [p, 2^64) fed to gl.sub(a, m) with small a wraps
+    a second time and corrupts the result by 2^32-1.  Real prover columns
+    (sigmas) are full of zeros, which makes a = 0 common and turned this
+    into the round-3 on-TPU vanishing-check failure (bisect matrix in
+    /tmp/bisect_tpu.log; minimal repro scripts/shrink_ntt_fail.py).
+    Canonicalizing m restores the invariant that every stage value is < p,
+    which makes both gl.add and gl.sub exact (4 extra VPU ops per butterfly
+    against the ~30-op limb multiply)."""
+    lo, hi = gl._cond_sub_p(a.lo, a.hi, gl._geq_p(a.lo, a.hi))
+    return GL(lo, hi)
+
+
 def _ntt_stages(x: GL, tsmall: GL, tbig: GL, offsets, n_log: int,
                 rows_per_poly: int, start_stage: int = 0) -> GL:
     """All DIT stages on a stacked (B*N/128, 128) tile of bit-reversed polys."""
@@ -95,7 +112,7 @@ def _ntt_stages(x: GL, tsmall: GL, tbig: GL, offsets, n_log: int,
         bit = ((lane_bits >> s) & 1) == 1
         a = gl.select(bit, t_up, x)        # the even element of the pair
         b = gl.select(bit, x, t_down)      # the odd element of the pair
-        m = _mul(b, w)
+        m = _canon(_mul(b, w))
         top = gl.add(a, m)
         bot = gl.sub(a, m)
         x = gl.select(bit, bot, top)
@@ -110,7 +127,7 @@ def _ntt_stages(x: GL, tsmall: GL, tbig: GL, offsets, n_log: int,
         xv = GL(x.lo.reshape(nb, 2 * d, LANES), x.hi.reshape(nb, 2 * d, LANES))
         even = GL(xv.lo[:, :d], xv.hi[:, :d])
         odd = GL(xv.lo[:, d:], xv.hi[:, d:])
-        m = _mul(odd, w)
+        m = _canon(_mul(odd, w))
         top = gl.add(even, m)
         bot = gl.sub(even, m)
         x = GL(jnp.concatenate([top.lo, bot.lo], axis=1).reshape(total_rows, LANES),

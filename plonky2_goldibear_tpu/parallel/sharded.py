@@ -73,13 +73,13 @@ def _commit_local(F, hasher, coeffs, rate_bits, cap_height, shift, n_dev,
                                      tiled=True),
         x)
     leaves = tree_map(lambda a: a.reshape(a.shape[0], mlocal).T, x)
-    # local subtree reduction to the cap slice
+    # local subtree reduction to the cap slice; the out_spec P("x") assembles
+    # the full cap from the per-chip slices (no all_gather needed — the cap
+    # layer is naturally sharded by leaf block, and GSPMD replicates it
+    # lazily if a consumer needs it)
     num_layers = host.log2_strict(mlocal) - (cap_height - lg_dev)
     levels = merkle.build_levels(leaves, num_layers, hasher)
-    cap_local = levels[-1]
-    cap = tree_map(lambda a: jax.lax.all_gather(a, "x", axis=0, tiled=True),
-                   cap_local)
-    return cap
+    return levels[-1]
 
 
 def sharded_commit(F, coeffs, rate_bits: int, cap_height: int, mesh: Mesh,
@@ -103,10 +103,7 @@ def sharded_commit(F, coeffs, rate_bits: int, cap_height: int, mesh: Mesh,
         lambda c: body(c),
         mesh=mesh,
         in_specs=(P("x", None),),
-        out_specs=P(),
-        # the cap is all_gathered, hence replicated; the static checker
-        # can't always prove it — skip the varying-mesh-axes check
-        check_vma=False,
+        out_specs=P("x", None),
     )
     return jax.jit(fn)(coeffs)
 

@@ -27,18 +27,28 @@ MODES = {
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "none"
+    if mode not in MODES:
+        print(f"usage: bisect_tpu_kernels.py [{'|'.join(MODES)}]",
+              file=sys.stderr)
+        sys.exit(2)
     env = dict(os.environ)
     env.update(MODES[mode])
     env.setdefault("SIZE_LOG", "9")
     here = os.path.dirname(os.path.abspath(__file__))
-    proc = subprocess.run(
-        [sys.executable, "-u", os.path.join(here, "repro_tpu_prove.py")],
-        env=env, capture_output=True, text=True, timeout=3600)
-    verdict = [l for l in proc.stdout.splitlines() if "VERIFY" in l]
-    line = f"mode={mode} size={env['SIZE_LOG']} -> " + (
-        verdict[-1] if verdict else f"no-verdict rc={proc.returncode}")
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-u", os.path.join(here, "repro_tpu_prove.py")],
+            env=env, capture_output=True, text=True, timeout=3600)
+        verdict = [l for l in proc.stdout.splitlines() if "VERIFY" in l]
+        line = f"mode={mode} size={env['SIZE_LOG']} -> " + (
+            verdict[-1] if verdict else f"no-verdict rc={proc.returncode}")
+        tail = proc.stdout[-2000:]
+    except subprocess.TimeoutExpired as e:
+        line = f"mode={mode} size={env['SIZE_LOG']} -> timeout after {e.timeout}s"
+        tail = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
+            else (e.stdout or "")
     print(line, flush=True)
-    print(proc.stdout[-2000:], flush=True)
+    print(tail[-2000:], flush=True)
     with open("/tmp/bisect_tpu.log", "a") as f:
         f.write(line + "\n")
 

@@ -65,10 +65,17 @@ def main():
 
     from plonky2_goldibear_tpu.ops import ntt as NTT
 
-    # forward NTT at repro sizes, incl. the pallas floor n=256
+    # forward NTT at repro sizes, incl. the pallas floor n=256.  NOTE the
+    # 2^9-row repro actually pads to degree 2^10 (build gates), so its true
+    # NTT shapes are (84|135|20, 1024) r=0 and (…, 8192) r=3 — the round-3
+    # version of this audit only covered 512/4096 and missed them (the
+    # lazy-sub bug was at (84, 1024); see tests/test_ops_kernels.py
+    # test_ntt_lazy_sub_regression).
     for b, n, r in [(85, 256, 0), (85, 512, 0), (135, 512, 0), (20, 512, 0),
                     (85, 1 << 12, 3), (135, 1 << 12, 3), (20, 1 << 12, 3),
-                    (16, 1 << 12, 0), (2, 256, 0), (4, 1 << 12, 3)]:
+                    (16, 1 << 12, 0), (2, 256, 0), (4, 1 << 12, 3),
+                    (84, 1 << 10, 0), (135, 1 << 10, 0), (20, 1 << 10, 0),
+                    (84, 1 << 13, 3), (135, 1 << 13, 3), (20, 1 << 13, 3)]:
         if r:
             small = rng.integers(0, gl.P, size=(b, n >> r), dtype=np.uint64)
             x = np.concatenate(
@@ -120,20 +127,29 @@ def main():
         if not ok:
             FAILS.append(f"sponge L{leaf_len} n{n}")
 
-    # full tree at repro sizes (n=4096 cap4; n=256 boundary cap4)
+    # full tree at repro sizes (n=4096 cap4; n=256 boundary cap4).
+    # The reference levels are built with the Poseidon Pallas kernels
+    # DISABLED so the comparison is kernel vs the jnp semantic reference —
+    # otherwise H.two_to_one at batch>=128 dispatches to the same
+    # permute_cols kernel and a shared kernel bug passes silently.
     for n, num_layers in [(1 << 12, 8), (256, 4), (512, 5)]:
         d0 = gl.from_ints(rng.integers(0, gl.P, size=(n, 4),
                                        dtype=np.uint64))
         got_levels = jax.jit(
             lambda d, nl=num_layers: merkle.build_levels(d, nl))(d0)
-        ref = [d0]
-        for _ in range(num_layers):
-            cur = ref[-1]
-            ref.append(H.two_to_one(cur[0::2], cur[1::2]))
+        os.environ["PLONKY2_TPU_DISABLE_POSEIDON"] = "1"
+        try:
+            ref = [d0]
+            for _ in range(num_layers):
+                cur = ref[-1]
+                ref.append(H.two_to_one(cur[0::2], cur[1::2]))
+        finally:
+            os.environ.pop("PLONKY2_TPU_DISABLE_POSEIDON", None)
         for k, (lg, lw) in enumerate(zip(got_levels[1:], ref[1:])):
             check(f"tree n{n} level {k+1}", lg, lw)
 
     print(("ALL PASS" if not FAILS else f"FAILURES: {FAILS}"), flush=True)
+    sys.exit(1 if FAILS else 0)
 
 
 if __name__ == "__main__":

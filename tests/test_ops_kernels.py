@@ -81,6 +81,26 @@ def test_ntt_kernel_matches_jnp():
         np.testing.assert_array_equal(gl.to_ints(out), gl.to_ints(ref))
 
 
+def test_ntt_lazy_sub_regression():
+    """Round-3 on-TPU prove failure: gl.sub(a, m) with a = 0 and a lazy
+    _mul output m in [p, 2^64) wrapped twice, corrupting 32 outputs of the
+    constants-sigmas commit NTT (shape (84, 1024)) and failing the
+    verifier's vanishing check at every circuit size.  Fixture = the actual
+    failing sigma column captured from that prove (bisect matrix in round-4
+    commit; fix: ops/ntt.py:_canon).  Random inputs hit the hazard with
+    probability ~2^-32 per element, which is why the round-3 audits passed."""
+    import os
+
+    import plonky2_goldibear_tpu.ops.ntt as NTT
+
+    z = np.load(os.path.join(os.path.dirname(__file__), "data",
+                             "ntt_lazy_sub_regression.npz"))
+    x = gl.GL(jnp.asarray(z["xlo"][None]), jnp.asarray(z["xhi"][None]))
+    out = NTT.fft(x)
+    np.testing.assert_array_equal(np.asarray(out.lo)[0], z["olo"])
+    np.testing.assert_array_equal(np.asarray(out.hi)[0], z["ohi"])
+
+
 def test_ntt_kernel_zero_prefix():
     import plonky2_goldibear_tpu.ops.ntt as NTT
     from plonky2_goldibear_tpu.field import fft as fftm
