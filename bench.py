@@ -155,19 +155,28 @@ def bench_prove_2e12():
     builder.register_public_input(cur)
     data = builder.build()
 
-    def one_prove(seed):
+    from plonky2_goldibear_tpu.utils.timing import ProvingProcessInfo
+
+    def one_prove(seed, timing=None):
         pw = PartialWitness()
         pw.set_target(x, 3 + seed)
-        return data.prove(pw)
+        return data.prove(pw, timing=timing)
 
     proof = one_prove(0)              # compile + warm
     verify(proof, data.verifier_only, data.common)
     times = []
+    phases = None
     for i in range(3):
+        timing = ProvingProcessInfo("prove")
         t0 = _t.perf_counter()
-        one_prove(i + 1)
-        times.append(_t.perf_counter() - t0)
-    return 1.0 / min(times), data.common.degree_bits
+        one_prove(i + 1, timing)
+        dt = _t.perf_counter() - t0
+        if not times or dt < min(times):
+            timing.close()
+            phases = {c.name: round(c.exit_time - c.enter_time, 4)
+                      for c in timing.children}
+        times.append(dt)
+    return 1.0 / min(times), data.common.degree_bits, phases
 
 
 def main():
@@ -189,9 +198,10 @@ def main():
         signal.signal(signal.SIGALRM,
                       lambda *_: (_ for _ in ()).throw(TimeoutError()))
         signal.alarm(1500)
-        proofs_per_s, prove_bits = bench_prove_2e12()
+        proofs_per_s, prove_bits, prove_phases = bench_prove_2e12()
     except BaseException as e:  # keep the other metrics alive if the prove
         proofs_per_s, prove_bits = None, None   # path breaks on the tunnel,
+        prove_phases = None
         prove_error = "".join(                  # but NEVER hide the failure
             traceback.format_exception_only(type(e), e)).strip()[:500]
     finally:
@@ -218,6 +228,8 @@ def main():
     }
     if prove_error is not None:
         extra["prove_error"] = prove_error
+    if prove_phases:
+        extra["prove_phase_s"] = prove_phases
     if proofs_per_s is not None:
         # headline: per-proof throughput, the reference's own north star
         # (plonky2/benches/recursion.rs:154-202; BASELINE.md)

@@ -105,7 +105,8 @@ FORCE_JNP = False  # set True to bypass the ops/ kernel (tests, cpu-pinned)
 
 
 def _use_pallas_ntt(F, n: int) -> bool:
-    """Trace-time dispatch to the fused ops/ntt.py kernel (TPU, GL, n>=256).
+    """Trace-time dispatch to the fused ops/ kernels (TPU, GL or BB,
+    n>=256): ops/ntt.py for Goldilocks, ops/ntt_bb.py for BabyBear.
 
     PLONKY2_TPU_DISABLE_NTT=1 forces the jnp path (TPU-prove bisection).
     Trace-time decision: flipping the env var does not affect programs
@@ -114,7 +115,7 @@ def _use_pallas_ntt(F, n: int) -> bool:
 
     if FORCE_JNP or env_flag("PLONKY2_TPU_DISABLE_NTT"):
         return False
-    return (F is gl_mod and n >= 256
+    return ((F is gl_mod or F is bb_mod) and n >= 256
             and jax.default_backend() == "tpu")
 
 
@@ -131,8 +132,12 @@ def fft(F, x, roots=None, zero_prefix_log: int = 0):
     if n == 1:
         return x
     if _use_pallas_ntt(F, n):
-        from ..ops import ntt as ntt_ops
         from ..utils.envflags import env_flag
+
+        if F is gl_mod:
+            from ..ops import ntt as ntt_ops
+        else:
+            from ..ops import ntt_bb as ntt_ops
 
         out = ntt_ops.fft(x, zero_prefix_log=zero_prefix_log)
         if env_flag("PLONKY2_TPU_NTT_CHECK"):

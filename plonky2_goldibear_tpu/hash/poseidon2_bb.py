@@ -236,9 +236,31 @@ def _internal_v(state, shifts):
     return jnp.concatenate([head[..., None], tail], axis=-1)
 
 
+def _use_pallas(batch: int) -> bool:
+    """Trace-time dispatch to the ops/poseidon2_bb.py fused kernel (TPU,
+    batch a nonzero multiple of 128).  PLONKY2_TPU_DISABLE_POSEIDON=1
+    forces the jnp path (kill switch shared with the GL kernels so the
+    prove bisect modes stay one-kernel-per-mode)."""
+    from ..utils.envflags import env_flag
+
+    if env_flag("PLONKY2_TPU_DISABLE_POSEIDON"):
+        return False
+    return (jax.default_backend() == "tpu" and batch >= 128
+            and batch % 128 == 0)
+
+
 def permute(state):
     """Batched permutation; state: bb array (..., 16), returns same shape.
-    Rounds run under lax.scan (compact XLA graph)."""
+    Rounds run under lax.scan (compact XLA graph); large batches dispatch
+    to the VMEM-resident Pallas kernel (ops/poseidon2_bb.py, bit-exact)."""
+    batch_shape = state.shape[:-1]
+    batch = int(np.prod(batch_shape)) if batch_shape else 1
+    if _use_pallas(batch):
+        from ..ops import poseidon2_bb as K
+
+        cols = state.reshape(batch, WIDTH).T          # (16, B)
+        out = K.permute_cols(cols)
+        return out.T.reshape(batch_shape + (WIDTH,))
     m4, shifts, ext_c, int_c = _dev_consts()
 
     def full_step(st, rc):

@@ -1,5 +1,14 @@
 """MXU-native Goldilocks NTT: radix-R levels as int8 digit-plane matmuls.
 
+STATUS: documented experiment, NOT wired into the prover dispatch.  The
+round-4 shootout (scripts/profile_ntt_r3.py, results committed in
+scripts/ntt_shootout_r4.json) measured the VPU-fused kernel (ops/ntt.py)
+2.3-5.1x faster at every prover-relevant shape (1x2^24, 256x2^15,
+135x2^18): the 8x8 digit-plane blowup costs 64x the MACs of the useful
+work plus a decode epilogue, which eats the MXU's raw advantage.  Kept as
+a reference implementation of the offset-digit technique (bit-exact, see
+tests/test_ops_kernels.py:test_ntt_mxu_matches_jnp).
+
 The VPU-fused kernel in ``ops/ntt.py`` runs every radix-2 butterfly as u32
 limb arithmetic on the VPU — measured ~100 G int-ops/s of mostly shuffles
 and multi-word carries.  This module instead maps each radix-R NTT level onto

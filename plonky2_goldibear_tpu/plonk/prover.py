@@ -132,13 +132,38 @@ def compute_lookup_polys(common, prover_data, witness, deltas4):
     polys = [[0] * degree for _ in range(num_partial + 1)]
     wv = witness  # (num_wires, degree) numpy uint64
 
+    # Pass 1 (batched): every row's denominators (d_alpha - combo) inverted
+    # in ONE Montgomery-trick batch_inv — the per-row inversion dominated
+    # the original row loop (one ~96-modmul Fermat power per row; now one
+    # for the whole circuit).  The reference batches here too
+    # (plonky2/src/plonk/prover.rs:555-674 uses batch_multiplicative_inverse
+    # per chunk).
+    denoms = []
     for last_lu, last_lut, first_lut in prover_data.lookup_rows:
         for row in range(first_lut, last_lut - 1, -1):
-            looked = [(int(wv[LookupTableGate.wire_ith_looked_inp(s), row])
-                       + d_a * int(wv[LookupTableGate.wire_ith_looked_out(s),
-                                      row])) % p
-                      for s in range(num_lut_slots)]
-            inv = host.batch_inv([(d_alpha - c) % p for c in looked], p)
+            denoms.extend(
+                (d_alpha - (int(wv[LookupTableGate.wire_ith_looked_inp(s),
+                                   row])
+                            + d_a * int(wv[
+                                LookupTableGate.wire_ith_looked_out(s),
+                                row]))) % p
+                for s in range(num_lut_slots))
+        for row in range(last_lut - 1, last_lu - 1, -1):
+            denoms.extend(
+                (d_alpha - (int(wv[LookupGate.wire_ith_looking_inp(s), row])
+                            + d_a * int(wv[
+                                LookupGate.wire_ith_looking_out(s), row])))
+                % p
+                for s in range(num_lu_slots))
+    all_inv = host.batch_inv(denoms, p)
+    pos = 0
+
+    # Pass 2 (sequential): the RE/SLDC running recurrences, identical row
+    # order and update rules to the reference's backward scan.
+    for last_lu, last_lut, first_lut in prover_data.lookup_rows:
+        for row in range(first_lut, last_lut - 1, -1):
+            inv = all_inv[pos:pos + num_lut_slots]
+            pos += num_lut_slots
             lookup_combos = [
                 (int(wv[LookupTableGate.wire_ith_looked_inp(s), row])
                  + d_b * int(wv[LookupTableGate.wire_ith_looked_out(s),
@@ -162,11 +187,8 @@ def compute_lookup_polys(common, prover_data, witness, deltas4):
                         * inv[s]) % p
                 polys[slot + 1][row] = acc
         for row in range(last_lut - 1, last_lu - 1, -1):
-            looking = [(int(wv[LookupGate.wire_ith_looking_inp(s), row])
-                        + d_a * int(wv[LookupGate.wire_ith_looking_out(s),
-                                       row])) % p
-                       for s in range(num_lu_slots)]
-            inv = host.batch_inv([(d_alpha - c) % p for c in looking], p)
+            inv = all_inv[pos:pos + num_lu_slots]
+            pos += num_lu_slots
             for slot in range(num_partial):
                 if slot == 0:
                     prev = polys[num_partial][row + 1]

@@ -97,7 +97,7 @@ def main():
 
     # coset fft/ifft as the prover uses them (shift = multiplicative gen)
     from plonky2_goldibear_tpu.field import host
-    shift = host.GOLDILOCKS.multiplicative_group_generator
+    shift = host.GOLDILOCKS.coset_shift
     for b, n in [(16, 1 << 12), (85, 1 << 12)]:
         x = rng.integers(0, gl.P, size=(b, n), dtype=np.uint64)
         g = gl.from_ints(x)

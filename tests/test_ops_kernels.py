@@ -101,6 +101,50 @@ def test_ntt_lazy_sub_regression():
     np.testing.assert_array_equal(np.asarray(out.hi)[0], z["ohi"])
 
 
+def test_ntt_bb_kernel_matches_jnp():
+    """BabyBear fused NTT (ops/ntt_bb.py) vs the jnp path — Montgomery
+    residues are bit-identical (integer NTTs are exact).  Includes the
+    pad path (rows_per_poly < 8) and zero-prefix LDE stages."""
+    from plonky2_goldibear_tpu.field import bb
+    from plonky2_goldibear_tpu.field import fft as fftm
+    import plonky2_goldibear_tpu.ops.ntt_bb as NTTB
+
+    rng = np.random.default_rng(11)
+    for b, n in [(1, 128), (3, 512), (2, 2048)]:
+        x = bb.from_ints(rng.integers(0, bb.P, size=(b, n), dtype=np.uint64))
+        out = NTTB.fft(x)
+        ref = fftm._fft_jnp(bb, x)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # zero-prefix (LDE) path
+    b, n, r = 2, 1024, 3
+    c = rng.integers(0, bb.P, size=(b, n >> r), dtype=np.uint64)
+    padded = np.concatenate(
+        [c, np.zeros((b, n - (n >> r)), dtype=np.uint64)], axis=1)
+    xm = bb.from_ints(padded)
+    out = NTTB.fft(xm, zero_prefix_log=r)
+    ref = fftm._fft_jnp(bb, xm)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_poseidon2_bb_permute_cols_matches_jnp():
+    """BB Poseidon2 width-16 Pallas kernel vs the jnp reference permute and
+    the host KAT path (Montgomery residues bit-identical)."""
+    from plonky2_goldibear_tpu.field import bb
+    from plonky2_goldibear_tpu.hash import poseidon2_bb as H2
+    import plonky2_goldibear_tpu.ops.poseidon2_bb as K2
+
+    rng = np.random.default_rng(12)
+    vals = rng.integers(0, bb.P, size=(256, H2.WIDTH), dtype=np.uint64)
+    state = bb.from_ints(vals)
+    got = K2.permute_cols(state.reshape(256, H2.WIDTH).T).T
+    ref = H2.permute(state)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # spot-check two columns against the host evaluation
+    for c in (0, 255):
+        want = H2.permute_host([int(v) for v in vals[c]])
+        assert [int(v) for v in bb.to_ints(got[c])] == want
+
+
 def test_ntt_kernel_zero_prefix():
     import plonky2_goldibear_tpu.ops.ntt as NTT
     from plonky2_goldibear_tpu.field import fft as fftm
