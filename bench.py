@@ -28,9 +28,19 @@ over u32 limb pairs is ~380 vector ops; the MXU cannot help an elementwise
 modular power), which bounds this permutation at ~45M perms/s/chip — the
 kernel runs at ~78% of that bound, so perms-vs-64-core-CPU parity is not
 reachable on ONE v5e chip for this VPU-bound metric; it scales linearly
-with chips (data-parallel leaves) and with the VPU width/clock of bigger
+with chips (data-parallel leaves — ``poseidon_chips_to_parity`` in the
+JSON makes the scaling explicit) and with the VPU width/clock of bigger
 parts (v5p).  The NTT, by contrast, is MXU/VPU-friendly and beats the
 CPU baseline per chip (see ntt_2e24_elems_per_s).
+
+Sbox op-count reduction attempts (round 4, negative result): a 3-mult
+Karatsuba split of the 64x64 limb product saves one 16-bit-split 32x32
+product (~21 vector ops) but pays ~24 ops of 33-bit middle-sum carry
+handling (the a0+a1 / b0+b1 sums overflow a lane, and z1 - z0 - z2 is a
+2-limb borrow chain), netting ~ +3 ops of the ~114-op lazy multiply — so
+the schoolbook limb schedule stands.  Squaring already uses the dedicated
+3-product ``_sqr`` chain.  The remaining lever on this metric is chips,
+not ops.
 """
 
 import json

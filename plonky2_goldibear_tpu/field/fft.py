@@ -90,9 +90,18 @@ def _bitrev_perm_host(n_log: int):
 
 
 def _bitrev_perm(n_log: int):
-    # NOTE: only the numpy array is cached — caching a jnp array would leak
-    # tracers across jit traces.
-    return jnp.asarray(_bitrev_perm_host(n_log))
+    """Bit-reversal permutation COMPUTED ON DEVICE from an iota.
+
+    A host-constant index array becomes a 2^n_log * 4-byte literal embedded
+    in every containing program — 32 MB at n=2^23, which OOMed the remote
+    compile helper on large-domain commits.  n_log shift/or steps on an
+    iota produce the same indices with no literal at all."""
+    i = jax.lax.iota(jnp.uint32, 1 << n_log)
+    r = jnp.zeros_like(i)
+    for _ in range(n_log):
+        r = (r << 1) | (i & 1)
+        i = i >> 1
+    return r.astype(jnp.int32)
 
 
 def reverse_index_bits(x, axis: int = -1):
@@ -222,8 +231,11 @@ def ifft(F, x, roots=None):
     n = tshape(x)[-1]
     n_log = host.log2_strict(n)
     y = fft(F, x, roots)
-    # index reversal: coeffs[k] = y[(n - k) % n] / n
-    idx = jnp.asarray((np.arange(n, dtype=np.int64) * -1) % n, dtype=jnp.int32)
+    # index reversal: coeffs[k] = y[(n - k) % n] / n.  Computed from an
+    # iota (n is a power of two) — a host index array would be a 4n-byte
+    # literal in every containing program (see _bitrev_perm).
+    i = jax.lax.iota(jnp.int32, n)
+    idx = (n - i) & (n - 1)
     y = ttake(y, idx, axis=-1)
     n_inv = host.finv(n, F.SPEC.p)
     return F.mul(y, F.const(n_inv))
@@ -241,8 +253,20 @@ def _power_vector_host(field_name: str, base_val: int, n: int):
 
 
 def powers(F, base_val: int, n: int):
-    """Device vector [1, b, b^2, ..., b^(n-1)] for a host constant b."""
-    return F.from_ints(_power_vector_host(F.SPEC.name, base_val % F.SPEC.p, n))
+    """Device vector [1, b, b^2, ..., b^(n-1)] for a host constant b.
+
+    Computed ON DEVICE via a log-depth cumprod ladder: a host power table
+    is a 8n-byte literal embedded in every containing program (64 MB for
+    the 2^23-point FRI combine), which OOMed the remote compile helper.
+    Integer cumprod is exact, so this is bit-identical to the host table
+    (small tables stay host-side for eager/test callers via
+    _power_vector_host)."""
+    if n <= 4096:
+        return F.from_ints(_power_vector_host(F.SPEC.name,
+                                              base_val % F.SPEC.p, n))
+    b = F.full((n - 1,), base_val)
+    body = F.cumprod(b, axis=0)          # [b, b^2, ..., b^(n-1)]
+    return tconcat([F.ones((1,)), body], axis=0)
 
 
 def coset_fft(F, coeffs, shift: int, roots=None):

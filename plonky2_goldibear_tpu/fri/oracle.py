@@ -70,6 +70,55 @@ def commit_values(F, values, rate_bits: int, cap_height: int,
                                      shift, hasher)
 
 
+def commit_values_streaming(F, values, rate_bits: int, cap_height: int,
+                            shift: Optional[int] = None,
+                            hasher=poseidon_gl):
+    """Memory-lean commit for large domains: (coeffs, digest levels).
+
+    ``commit_values`` materializes the full LDE **and** its (m, num_polys)
+    leaf transpose — ~25 GB HBM for a 2^20-degree 135-poly batch, which
+    exceeds a single v5e.  The overwrite-mode sponge absorbs leaf rows in
+    RATE-sized chunks anyway, so this version streams RATE polys at a
+    time: per block one coset LDE + transpose + one permutation of the
+    (m, WIDTH) sponge states; peak extra memory is one RATE-column LDE
+    block plus the states, independent of num_polys.  Leaf digests (and
+    hence the cap) are bit-identical to ``commit_values``.
+
+    Trade-off: the LDE values and leaf rows are NOT retained — FRI query
+    extraction must re-derive leaf columns from ``coeffs`` (or re-run the
+    block LDE); the full prover keeps using ``commit_values`` below the
+    memory ceiling and the sharded multi-chip commit above it
+    (parallel/sharded.py).  Jittable; reference analog fri/oracle.rs:68-91.
+    """
+    sh = F.SPEC.coset_shift if shift is None else shift
+    rate = hasher.RATE
+    width = hasher.WIDTH
+    num_out = hasher.NUM_HASH_OUT
+    coeffs = fftm.ifft(F, values)
+    num_polys, n = fftm.tshape(coeffs)
+    assert num_polys > num_out, "streaming commit expects a hashed leaf"
+    m = n << rate_bits
+    state = F.zeros((m, width))
+    for j in range(0, num_polys, rate):
+        blk = tree_map(lambda a: a[j:j + rate], coeffs)
+        lde = lde_values(F, blk, rate_bits, sh)
+        rows = leaves_from_lde(F, lde)                 # (m, k)
+        k = fftm.tshape(rows)[-1]
+        state = fftm.tconcat(
+            [rows, tree_map(lambda a: a[..., k:], state)], axis=-1)
+        state = hasher.permute(state)
+    d0 = tree_map(lambda a: a[..., :num_out], state)   # leaf digests (m, 4)
+    num_layers = host.log2_strict(m) - cap_height
+    # build_levels hashes its input rows with hash_or_noop, which is the
+    # identity on digest-width rows — so feeding digests is exact
+    levels = merkle.build_levels(d0, num_layers, hasher)
+    return coeffs, levels
+
+
+_commit_values_streaming_jit = jax.jit(
+    commit_values_streaming, static_argnums=(0, 2, 3, 4, 5))
+
+
 def _salted_tree(F, lde, salt, cap_height: int, hasher):
     salted = fftm.tconcat([lde, salt], axis=0)
     leaves = leaves_from_lde(F, salted)

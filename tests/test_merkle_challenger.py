@@ -88,3 +88,28 @@ class TestChallenger:
         state = c.compact()
         expect = pos.permute_host(list(range(5)) + [0] * 7)
         assert state == expect
+
+
+def test_streaming_commit_matches_dense():
+    """commit_values_streaming (memory-lean large-domain path) produces
+    bit-identical digest levels to the dense commit_values."""
+    import jax
+    import numpy as np
+
+    from plonky2_goldibear_tpu.field import gl
+    from plonky2_goldibear_tpu.fri import oracle
+
+    rng = np.random.default_rng(17)
+    vals = gl.from_ints(rng.integers(0, gl.P, size=(13, 64),
+                                     dtype=np.uint64))
+    coeffs_s, levels_s = jax.jit(
+        lambda v: oracle.commit_values_streaming(gl, v, 3, 2))(vals)
+    coeffs_d, _, _, levels_d = jax.jit(
+        lambda v: oracle.commit_values(gl, v, 3, 2,
+                                       gl.SPEC.coset_shift,
+                                       oracle.poseidon_gl))(vals)
+    np.testing.assert_array_equal(gl.to_ints(coeffs_s), gl.to_ints(coeffs_d))
+    # dense levels[0] is the full leaf rows; digests start at the leaf
+    # digest layer which the streaming path returns as its levels[0]
+    for ls, ld in zip(levels_s, levels_d):
+        np.testing.assert_array_equal(gl.to_ints(ls), gl.to_ints(ld))
