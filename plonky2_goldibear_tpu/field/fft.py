@@ -94,8 +94,12 @@ def _bitrev_perm(n_log: int):
 
     A host-constant index array becomes a 2^n_log * 4-byte literal embedded
     in every containing program — 32 MB at n=2^23, which OOMed the remote
-    compile helper on large-domain commits.  n_log shift/or steps on an
-    iota produce the same indices with no literal at all."""
+    compile helper on large-domain commits.  Above 2^16 (256 kB literal),
+    n_log shift/or steps on an iota produce the same indices with no
+    literal at all; small tables stay host constants (cheaper compiles on
+    the XLA:CPU test backend)."""
+    if n_log <= 16:
+        return jnp.asarray(_bitrev_perm_host(n_log))
     i = jax.lax.iota(jnp.uint32, 1 << n_log)
     r = jnp.zeros_like(i)
     for _ in range(n_log):
@@ -258,10 +262,12 @@ def powers(F, base_val: int, n: int):
     Computed ON DEVICE via a log-depth cumprod ladder: a host power table
     is a 8n-byte literal embedded in every containing program (64 MB for
     the 2^23-point FRI combine), which OOMed the remote compile helper.
-    Integer cumprod is exact, so this is bit-identical to the host table
-    (small tables stay host-side for eager/test callers via
-    _power_vector_host)."""
-    if n <= 4096:
+    Integer cumprod is exact, so this is bit-identical to the host table.
+    Tables up to 2^16 stay host-side: the literal is <= 0.5 MB (harmless)
+    and the cumprod ladder trips XLA:CPU's algebraic-simplifier loop
+    pathology ("stuck in a circular simplification loop", minutes per
+    compile) on the test backend."""
+    if n <= (1 << 16):
         return F.from_ints(_power_vector_host(F.SPEC.name,
                                               base_val % F.SPEC.p, n))
     b = F.full((n - 1,), base_val)

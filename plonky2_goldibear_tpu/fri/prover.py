@@ -261,24 +261,84 @@ def fri_proof_of_work(F, challenger, config, hasher=poseidon_gl,
         assert start < 1 << 32, "PoW grind exhausted 2^32 candidates"
 
 
+@jax.jit
+def _all_query_gather_jit(leaves_list, levels_list, idx_list):
+    """ONE program for every tree's query leaf rows AND sibling chains,
+    flattened into a single vector (ONE transfer).  Under the TPU tunnel
+    each dispatch+fetch is a network round trip; the per-tree layout cost
+    ~2 round trips x (4 oracles + fold rounds) per proof, which dominated
+    the FRI phase wall-clock."""
+    chunks = []
+    for leaves, levels, idx in zip(leaves_list, levels_list, idx_list):
+        rows = tree_map(lambda a: a[idx], leaves)
+        chunks.append(tree_map(lambda a: a.reshape(-1), rows))
+        cur = idx
+        for lv in levels:
+            sib = cur ^ 1
+            g = tree_map(lambda a: a[sib], lv)
+            chunks.append(tree_map(lambda a: a.reshape(-1), g))
+            cur = cur >> 1
+    return tree_map(lambda *ls: jnp.concatenate(ls, axis=0), *chunks)
+
+
+def _gather_all_query_data(all_trees, all_indices):
+    """Fused leaf+sibling gather for a list of MerkleTrees; returns per tree
+    (leaf_rows, sibling_chains) in the same host formats as
+    merkle.MerkleTree.leaf_batch / prove_batch."""
+    F = all_trees[0]._F
+    leaves_list = tuple(t.leaves for t in all_trees)
+    levels_list = tuple(tuple(t.levels[:t.num_layers]) for t in all_trees)
+    idx_list = tuple(jnp.asarray(np.asarray(ix, dtype=np.int32))
+                     for ix in all_indices)
+    flat = F.to_ints(_all_query_gather_jit(leaves_list, levels_list,
+                                           idx_list))
+    out = []
+    off = 0
+    for t, ix in zip(all_trees, all_indices):
+        nq = len(ix)
+        rows = flat[off:off + nq * t.leaf_len].reshape(nq, t.leaf_len)
+        off += nq * t.leaf_len
+        leaf_rows = [[int(x) for x in row] for row in rows]
+        dw = getattr(t.hasher, "NUM_HASH_OUT", 4)   # digest width (GL 4, BB 8)
+        chains = [[] for _ in range(nq)]
+        for _ in range(t.num_layers):
+            lvl = flat[off:off + nq * dw].reshape(nq, dw)
+            off += nq * dw
+            for q in range(nq):
+                chains[q].append([int(x) for x in lvl[q]])
+        out.append((leaf_rows, chains))
+    assert off == len(flat)
+    return out
+
+
 def _query_rounds(E, initial_trees, trees, x_indices: List[int],
                   fri_params) -> List[FriQueryRound]:
-    """All query rounds at once: per tree ONE batched gather + transfer for
-    leaves and one per level for sibling chains (merkle.prove_batch), instead
-    of per-query host reads (reference fri/prover.rs:190-255 walks per query;
-    host-device round trips make that layout hostile on TPU)."""
+    """All query rounds at once, fused: ONE device program + ONE transfer
+    gathers every oracle's leaf rows and sibling chains for all 28 query
+    indices (reference fri/prover.rs:190-255 walks per query; host-device
+    round trips make that layout hostile behind the TPU tunnel)."""
     nq = len(x_indices)
-    init_leaves = [t.tree.leaf_batch(x_indices) for t in initial_trees]
-    init_proofs = [t.tree.prove_batch(x_indices) for t in initial_trees]
-    step_data = []
+    all_trees = [t.tree for t in initial_trees] + list(trees)
+    fused = not any(hasattr(t.hasher, "digests_host") for t in all_trees)
     cur = list(x_indices)
-    for i, tree in enumerate(trees):
+    round_indices = []
+    for i in range(len(trees)):
         arity_bits = fri_params.reduction_arity_bits[i]
-        coset_indices = [x >> arity_bits for x in cur]
-        leaves = tree.leaf_batch(coset_indices)
-        proofs = tree.prove_batch(coset_indices)
-        step_data.append((leaves, proofs))
-        cur = coset_indices
+        cur = [x >> arity_bits for x in cur]
+        round_indices.append(cur)
+    if fused:
+        all_indices = [x_indices] * len(initial_trees) + round_indices
+        data = _gather_all_query_data(all_trees, all_indices)
+        init_leaves = [d[0] for d in data[:len(initial_trees)]]
+        init_proofs = [d[1] for d in data[:len(initial_trees)]]
+        step_data = [(d[0], d[1]) for d in data[len(initial_trees):]]
+    else:
+        init_leaves = [t.tree.leaf_batch(x_indices) for t in initial_trees]
+        init_proofs = [t.tree.prove_batch(x_indices) for t in initial_trees]
+        step_data = []
+        for i, tree in enumerate(trees):
+            step_data.append((tree.leaf_batch(round_indices[i]),
+                              tree.prove_batch(round_indices[i])))
 
     D = E.D
     rounds = []
