@@ -159,7 +159,41 @@ class RandomRowGenerator(SimpleGenerator):
 
 def generate_partial_witness(inputs: PartialWitness, prover_data,
                              common_data) -> PartitionWitness:
-    """Round-based fixpoint scheduler (reference generator.rs:25-106)."""
+    """Witness generation with native replay.
+
+    First run per (circuit, input-target set): the round-based fixpoint
+    scheduler (reference generator.rs:25-106), recording the execution
+    order.  The order depends only on WHICH targets are pre-set — not on
+    their values — so it is a valid static schedule for every later proof;
+    it is lowered to native VM segments (native/) and replayed at C speed
+    (the Python fixpoint cost 29% of prove time).
+    """
+    from ..utils.envflags import env_flag
+
+    config = common_data.config
+    key = frozenset(
+        tgt.target_index(t, config.num_wires, common_data.degree)
+        for t in inputs.target_values)
+    cache = getattr(prover_data, "_witgen_schedules", None)
+    if cache is None:
+        cache = prover_data._witgen_schedules = {}
+    sched = cache.get(key)
+    if sched is not None:
+        return sched.replay(inputs, prover_data, common_data)
+
+    witness, order = _fixpoint_generate(inputs, prover_data, common_data)
+
+    from ..native import engine
+    if engine.LIB is not None and \
+            not env_flag("PLONKY2_TPU_DISABLE_WITGEN_NATIVE"):
+        from ..native.schedule import compile_schedule
+        cache[key] = compile_schedule(order, prover_data, common_data)
+    return witness
+
+
+def _fixpoint_generate(inputs: PartialWitness, prover_data, common_data):
+    """Round-based fixpoint scheduler (reference generator.rs:25-106);
+    returns (witness, completion order)."""
     config = common_data.config
     generators = prover_data.generators
     by_watches: Dict[int, List[int]] = prover_data.generator_indices_by_watches
@@ -173,6 +207,7 @@ def generate_partial_witness(inputs: PartialWitness, prover_data,
     expired = [False] * len(generators)
     remaining = len(generators)
     buffer: List = []
+    order: List[int] = []
 
     while pending:
         next_pending: List[int] = []
@@ -182,6 +217,7 @@ def generate_partial_witness(inputs: PartialWitness, prover_data,
             finished = generators[gi].run(witness, buffer)
             if finished:
                 expired[gi] = True
+                order.append(gi)
                 remaining -= 1
             for t, v in buffer:
                 rep = witness.set_target_returning_rep(t, v)
@@ -193,4 +229,4 @@ def generate_partial_witness(inputs: PartialWitness, prover_data,
         pending = next_pending
 
     assert remaining == 0, f"{remaining} generators weren't run"
-    return witness
+    return witness, order

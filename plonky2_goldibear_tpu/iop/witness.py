@@ -37,32 +37,46 @@ class PartialWitness:
 
 
 class PartitionWitness:
-    """Witness keyed by representative index (copy classes share slots)."""
+    """Witness keyed by representative index (copy classes share slots).
+
+    Storage is a dense uint64 value array plus a filled bitmap — the SAME
+    buffers the native witness VM (native/witgen.c) executes over, so Python
+    fallback generators and native segments share one address space.  The
+    ``vals`` buffer may be larger than the rep count (VM temporaries live
+    past ``num_reps``); only the first ``len(rep)`` slots are witness state.
+    """
 
     def __init__(self, num_wires: int, degree: int,
-                 representative_map: np.ndarray):
+                 representative_map: np.ndarray,
+                 vals: Optional[np.ndarray] = None,
+                 filled: Optional[np.ndarray] = None):
         self.num_wires = num_wires
         self.degree = degree
         self.rep = representative_map  # dense index -> representative index
         n = len(representative_map)
-        self.values: List[Optional[int]] = [None] * n
+        self.vals = vals if vals is not None else np.zeros(n, np.uint64)
+        self.filled = (filled if filled is not None
+                       else np.zeros(n, np.uint8))
 
     def index(self, t: tgt.Target) -> int:
         return tgt.target_index(t, self.num_wires, self.degree)
 
     def try_get_target(self, t: tgt.Target) -> Optional[int]:
-        return self.values[self.rep[self.index(t)]]
+        rep = self.rep[self.index(t)]
+        if not self.filled[rep]:
+            return None
+        return int(self.vals[rep])
 
     def get_target(self, t: tgt.Target) -> int:
-        v = self.try_get_target(t)
-        assert v is not None, f"target {t} not set"
-        return v
+        rep = self.rep[self.index(t)]
+        assert self.filled[rep], f"target {t} not set"
+        return int(self.vals[rep])
 
     def get_targets(self, ts: Sequence[tgt.Target]) -> List[int]:
         return [self.get_target(t) for t in ts]
 
     def contains(self, t: tgt.Target) -> bool:
-        return self.try_get_target(t) is not None
+        return bool(self.filled[self.rep[self.index(t)]])
 
     def contains_all(self, ts: Sequence[tgt.Target]) -> bool:
         return all(self.contains(t) for t in ts)
@@ -71,12 +85,13 @@ class PartitionWitness:
         """Set; returns the representative index if newly populated
         (reference witness.rs set_target_returning_rep semantics)."""
         rep = self.rep[self.index(t)]
-        old = self.values[rep]
-        if old is None:
-            self.values[rep] = value
+        if not self.filled[rep]:
+            self.filled[rep] = 1
+            self.vals[rep] = value
             return int(rep)
-        assert old == value, \
-            f"contradictory assignment for {t}: {old} vs {value}"
+        assert int(self.vals[rep]) == value, \
+            f"contradictory assignment for {t}: {int(self.vals[rep])} " \
+            f"vs {value}"
         return None
 
     def set_target(self, t: tgt.Target, value: int):
@@ -86,9 +101,9 @@ class PartitionWitness:
         """Dense (num_wires, degree) uint64 matrix; unset wires are zero
         (reference witness.rs:359 MatrixWitness layout is
         wire_values[column][row])."""
-        vals = np.array([0 if v is None else v for v in self.values],
-                        dtype=np.uint64)
         # dense index = row * num_wires + column
         reps = self.rep[: self.degree * self.num_wires].reshape(
             self.degree, self.num_wires)
-        return vals[reps].T.copy()
+        dense = np.where(self.filled[reps].astype(bool),
+                         self.vals[reps], np.uint64(0))
+        return dense.T.copy()
