@@ -142,56 +142,157 @@ def bench_ntt_2e24():
     return n / dt
 
 
-def bench_prove_2e12():
-    """Full on-TPU prove of a 2^12-row GL circuit: wall-clock proofs/s after
-    warmup (compile cache hot, same witness shapes).  The analog of the
-    reference's bench_recursion inner-proof stage
-    (plonky2/benches/../examples/bench_recursion.rs)."""
-    import time as _t
-
-    from plonky2_goldibear_tpu.iop.generator import seed_randomness
-    from plonky2_goldibear_tpu.iop.witness import PartialWitness
+def _build_arith_chain(config, spec=None, target_degree_bits=12):
+    """An ArithmeticGate chain sized to land at degree 2^target_degree_bits
+    (a handful of rows go to the PI gate / constants / padding)."""
     from plonky2_goldibear_tpu.plonk.builder import CircuitBuilder
-    from plonky2_goldibear_tpu.plonk.config import CircuitConfig
-    from plonky2_goldibear_tpu.plonk.verifier import verify
 
-    seed_randomness(42)
-    builder = CircuitBuilder(CircuitConfig.standard_recursion_config_gl())
+    kwargs = {"spec": spec} if spec is not None else {}
+    builder = CircuitBuilder(config, **kwargs)
     x = builder.add_virtual_target()
     builder.register_public_input(x)
     cur = x
-    for _ in range((1 << 12) * 20):   # ~20 ops per ArithmeticGate row
+    ops_per_gate = config.num_routed_wires // 4
+    for _ in (range(((1 << target_degree_bits) - 8) * ops_per_gate)):
         cur = builder.arithmetic(1, 1, cur, cur, cur)
     builder.register_public_input(cur)
     data = builder.build()
+    assert data.common.degree_bits == target_degree_bits, \
+        data.common.degree_bits
+    return data, x
 
-    from plonky2_goldibear_tpu.utils.timing import ProvingProcessInfo
 
-    def one_prove(seed, timing=None):
+def _warm_proofs_per_s(data, x, n_iters=3):
+    """Min wall-clock over warm proves -> proofs/s (compile cache hot)."""
+    import time as _t
+
+    from plonky2_goldibear_tpu.iop.witness import PartialWitness
+    from plonky2_goldibear_tpu.plonk.verifier import verify
+
+    def one_prove(seed):
         pw = PartialWitness()
         pw.set_target(x, 3 + seed)
-        return data.prove(pw, timing=timing)
+        return data.prove(pw)
 
     proof = one_prove(0)              # compile + warm
     verify(proof, data.verifier_only, data.common)
     times = []
-    phases = None
-    for i in range(3):
-        timing = ProvingProcessInfo("prove")
+    for i in range(n_iters):
         t0 = _t.perf_counter()
-        one_prove(i + 1, timing)
-        dt = _t.perf_counter() - t0
-        if not times or dt < min(times):
-            timing.close()
-            phases = {c.name: round(c.exit_time - c.enter_time, 4)
-                      for c in timing.children}
-        times.append(dt)
-    return 1.0 / min(times), data.common.degree_bits, phases
+        one_prove(i + 1)
+        times.append(_t.perf_counter() - t0)
+    return 1.0 / min(times)
+
+
+def bench_prove_inner():
+    """Prove a 2^12-row GL circuit (the reference bench_recursion inner
+    stage, plonky2/examples/bench_recursion.rs:53-84): warm proofs/s plus
+    one phase-attributed (sync-transcript) run."""
+    import time as _t
+
+    from plonky2_goldibear_tpu.iop.generator import seed_randomness
+    from plonky2_goldibear_tpu.iop.witness import PartialWitness
+    from plonky2_goldibear_tpu.plonk.config import CircuitConfig
+    from plonky2_goldibear_tpu.utils.timing import ProvingProcessInfo
+
+    seed_randomness(42)
+    data, x = _build_arith_chain(
+        CircuitConfig.standard_recursion_config_gl())
+    pps = _warm_proofs_per_s(data, x)
+    # phase attribution runs the SYNC transcript path (timing mode), so the
+    # per-phase sum exceeds the async headline wall-clock
+    timing = ProvingProcessInfo("prove")
+    pw = PartialWitness()
+    pw.set_target(x, 99)
+    t0 = _t.perf_counter()
+    data.prove(pw, timing=timing)
+    sync_s = _t.perf_counter() - t0
+    timing.close()
+    phases = {c.name: round(c.exit_time - c.enter_time, 4)
+              for c in timing.children}
+    phases["total_sync_path"] = round(sync_s, 4)
+    return pps, data.common.degree_bits, phases, data, x
+
+
+def bench_prove_recursive(inner_data, inner_x):
+    """THE reference headline (plonky2/benches/recursion.rs:154-202): prove
+    the recursive-verifier circuit wrapping a 2^12 inner proof."""
+    from plonky2_goldibear_tpu.iop.witness import PartialWitness
+    from plonky2_goldibear_tpu.plonk.builder import CircuitBuilder
+    from plonky2_goldibear_tpu.plonk.verifier import verify
+    from plonky2_goldibear_tpu.recursion import recursive_verifier as rv
+
+    pw = PartialWitness()
+    pw.set_target(inner_x, 3)
+    inner_proof = inner_data.prove(pw)
+
+    outer = CircuitBuilder(inner_data.common.config)
+    proof_t = rv.add_virtual_proof_with_pis(outer, inner_data.common)
+    vk_t = rv.add_virtual_verifier_data(
+        outer, inner_data.common.config.fri_config.cap_height)
+    rv.verify_proof(outer, proof_t, vk_t, inner_data.common)
+    outer.register_public_inputs(proof_t.public_inputs)
+    outer_data = outer.build()
+
+    import time as _t
+
+    from plonky2_goldibear_tpu.plonk.verifier import verify as _verify
+
+    def one_prove():
+        pw3 = PartialWitness()
+        rv.set_proof_with_pis_target(pw3, proof_t, inner_proof)
+        rv.set_verifier_data_target(pw3, vk_t, inner_data.verifier_only)
+        return outer_data.prove(pw3)
+
+    proof = one_prove()
+    _verify(proof, outer_data.verifier_only, outer_data.common)
+    times = []
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        one_prove()
+        times.append(_t.perf_counter() - t0)
+    return 1.0 / min(times), outer_data.common.degree_bits
+
+
+def bench_prove_bb():
+    """BabyBear proofs/s (the fork's field-generic headline,
+    reference README.md:1-8): a 2^12-row BB-narrow circuit with
+    Poseidon2-BB transcript."""
+    from plonky2_goldibear_tpu.field import host
+    from plonky2_goldibear_tpu.plonk.config import CircuitConfig
+
+    data, x = _build_arith_chain(
+        CircuitConfig.standard_recursion_config_bb(), spec=host.BABYBEAR)
+    pps = _warm_proofs_per_s(data, x)
+    return pps, data.common.degree_bits
+
+
+def _run_stage(extra, key, deadline, min_budget, fn, *args):
+    """Run one bench stage under the global deadline; record errors instead
+    of swallowing them.  Returns the stage result or None."""
+    import signal
+    import time as _t
+    import traceback
+
+    remaining = int(deadline - _t.time())
+    if remaining < min_budget:
+        extra[key + "_skipped"] = f"budget ({remaining}s left)"
+        return None
+    try:
+        signal.signal(signal.SIGALRM,
+                      lambda *_: (_ for _ in ()).throw(TimeoutError()))
+        signal.alarm(remaining)
+        return fn(*args)
+    except BaseException as e:
+        extra[key + "_error"] = "".join(
+            traceback.format_exception_only(type(e), e)).strip()[:300]
+        return None
+    finally:
+        signal.alarm(0)
 
 
 def main():
-    import signal
-    import traceback
+    import time as _t
 
     import jax
     # persistent compile cache: repeated bench runs (and the prove stage's
@@ -199,32 +300,19 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     backend = jax.default_backend()
+    # hard budget: fresh-circuit compiles on a cold cache can take many
+    # minutes; never let one stage starve the others
+    deadline = _t.time() + 2400
     perms_per_s = bench_poseidon_merkle()
     ntt_elems_per_s = bench_ntt_2e24()
-    prove_error = None
-    try:
-        # hard budget: a fresh-circuit compile on a cold cache can take many
-        # minutes; never let the prove stage starve the headline metrics
-        signal.signal(signal.SIGALRM,
-                      lambda *_: (_ for _ in ()).throw(TimeoutError()))
-        signal.alarm(1500)
-        proofs_per_s, prove_bits, prove_phases = bench_prove_2e12()
-    except BaseException as e:  # keep the other metrics alive if the prove
-        proofs_per_s, prove_bits = None, None   # path breaks on the tunnel,
-        prove_phases = None
-        prove_error = "".join(                  # but NEVER hide the failure
-            traceback.format_exception_only(type(e), e)).strip()[:500]
-    finally:
-        signal.alarm(0)
     # The reference publishes no numbers and no cargo toolchain exists on
     # this box (BASELINE.md), so the comparison points are documented
     # estimates of a 64-core scalar-Rust CPU — flagged as such in the JSON.
     baseline_perms = 1.0e8   # estimated 64-core scalar-Rust Poseidon perms/s
     baseline_ntt = 2.0e8     # estimated 64-core 2^24 NTT elems/s
-    baseline_proofs = 2.0    # estimated 64-core proofs/s at 2^12 rows
-    # measured v5e VPU roofline: 4.44e9 x^7/s -> ~45M perms/s/chip ceiling
-    # (see module docstring); chips_to_parity = chips of THIS kernel needed
-    # to match the 64-core-CPU estimate (leaves are data-parallel)
+    baseline_proofs = 2.0    # estimated 64-core proofs/s, 2^12-row circuit
+    # (both the flat inner circuit and the recursive-verifier circuit land
+    # at ~2^12 rows; one documented estimate serves both)
     extra = {
         "poseidon_gl_perms_per_s": round(perms_per_s, 1),
         "poseidon_vs_baseline": round(perms_per_s / baseline_perms, 3),
@@ -236,18 +324,39 @@ def main():
         "backend": backend,
         "device_kind": jax.devices()[0].device_kind,
     }
-    if prove_error is not None:
-        extra["prove_error"] = prove_error
-    if prove_phases:
-        extra["prove_phase_s"] = prove_phases
-    if proofs_per_s is not None:
-        # headline: per-proof throughput, the reference's own north star
-        # (plonky2/benches/recursion.rs:154-202; BASELINE.md)
+
+    inner = _run_stage(extra, "prove", deadline, 120, bench_prove_inner)
+    rec_pps = rec_bits = None
+    if inner is not None:
+        inner_pps, inner_bits, phases, inner_data, inner_x = inner
+        extra["inner_proofs_per_s_2e%d" % inner_bits] = round(inner_pps, 4)
+        extra["inner_vs_baseline"] = round(inner_pps / baseline_proofs, 3)
+        extra["prove_phase_s"] = phases
+        rec = _run_stage(extra, "recursive", deadline, 300,
+                         bench_prove_recursive, inner_data, inner_x)
+        if rec is not None:
+            rec_pps, rec_bits = rec
+    bb = _run_stage(extra, "bb_prove", deadline, 180, bench_prove_bb)
+    if bb is not None:
+        extra["bb_proofs_per_s_2e%d" % bb[1]] = round(bb[0], 4)
+        extra["bb_vs_baseline"] = round(bb[0] / baseline_proofs, 3)
+
+    if rec_pps is not None:
+        # HEADLINE: proving the recursive-verifier circuit — the
+        # reference's own benchmark (plonky2/benches/recursion.rs:154-202)
         print(json.dumps({
-            "metric": "proofs_per_s_2e%d" % prove_bits,
-            "value": round(proofs_per_s, 4),
+            "metric": "recursive_proofs_per_s_2e%d" % rec_bits,
+            "value": round(rec_pps, 4),
             "unit": "proofs/s",
-            "vs_baseline": round(proofs_per_s / baseline_proofs, 3),
+            "vs_baseline": round(rec_pps / baseline_proofs, 3),
+            "extra": extra,
+        }))
+    elif inner is not None:
+        print(json.dumps({
+            "metric": "proofs_per_s_2e%d" % inner_bits,
+            "value": round(inner_pps, 4),
+            "unit": "proofs/s",
+            "vs_baseline": round(inner_pps / baseline_proofs, 3),
             "extra": extra,
         }))
     else:

@@ -76,6 +76,20 @@ def ones(shape) -> jax.Array:
     return jnp.full(shape, MONT_ONE, U32)
 
 
+def from_u32(w) -> jax.Array:
+    """Device uint32 array/scalar (canonical < p) -> Montgomery form."""
+    w = w.astype(U32)
+    hi, lo = _mul32(w, jnp.full_like(w, np.uint32(R2)))
+    return _redc(hi, lo)
+
+
+def index_low_bits(x: jax.Array, n: int):
+    """Canonical value mod n (n a power of two) as int32 indices."""
+    assert n & (n - 1) == 0 and n <= 1 << 31
+    canon = _redc(jnp.zeros_like(x), x)
+    return (canon & np.uint32(n - 1)).astype(jnp.int32)
+
+
 def full(shape, value: int) -> jax.Array:
     mont = (value % P) * R % P
     return jnp.full(shape, np.uint32(mont), U32)

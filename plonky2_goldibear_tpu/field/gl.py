@@ -98,6 +98,17 @@ def const(value: int) -> GL:
     return full((), value)
 
 
+def from_u32(w) -> GL:
+    """Device uint32 array/scalar -> GL field value (canonical, < 2^32)."""
+    return GL(w.astype(U32), jnp.zeros_like(w, dtype=U32))
+
+
+def index_low_bits(x: GL, n: int):
+    """Canonical value mod n (n a power of two <= 2^32) as int32 indices."""
+    assert n & (n - 1) == 0 and n <= 1 << 32
+    return (x.lo & np.uint32(n - 1)).astype(jnp.int32)
+
+
 # --------------------------------------------------------------------------
 # 32/64-bit limb primitives
 # --------------------------------------------------------------------------

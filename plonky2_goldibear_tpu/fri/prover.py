@@ -410,3 +410,222 @@ def _get_combine_jit(F, anchor_oracle, batch_indices, shift):
         cache[key] = jax.jit(
             partial(_combine_and_ifft, F, batch_indices, shift))
     return cache[key]
+
+
+# ==========================================================================
+# Async (device-transcript) FRI prover: no host fetch until the caller's
+# final proof gather.  Challenges come from a DeviceChallenger; alpha
+# weights, reduced openings and beta powers are computed ON DEVICE from the
+# challenge scalars instead of host ints.  Values are bit-identical to the
+# sync path (same algebra, same transcript schedule).
+# ==========================================================================
+
+
+def _ext_powers_scalar(E, z, n: int):
+    """[1, z, .., z^(n-1)] as an ext (n,) array from an ext scalar, via
+    log-doubling (same schedule as _ext_powers_traced in plonk/prover.py)."""
+    pows = E.ones((1,))
+    z_pow = z
+    length = 1
+    while length < n:
+        shifted = E.mul(pows, z_pow)
+        pows = tuple(fftm.tconcat([a, b], axis=-1)
+                     for a, b in zip(pows, shifted))
+        z_pow = E.mul(z_pow, z_pow)
+        length *= 2
+    return tuple(tree_map(lambda a: a[:n], c) for c in pows)
+
+
+def _combine_and_ifft_async(F, batch_indices, shift, ldes, alpha,
+                            batch_vals, points):
+    """Async combine: ``alpha`` is a device ext scalar; ``batch_vals[b]`` is
+    the batch's claimed opening values as an ext (P_b, D-major) component
+    tuple (D arrays of (P_b,)) in FRI order — weights and reduced openings
+    are derived on device (sync path: host ext_pow / reduce_openings)."""
+    E = _ext_ops(F)
+    spec = F.SPEC
+    m = fftm.tshape(ldes[0])[-1]
+    w = spec.two_adic_generator(host.log2_strict(m))
+    xs = F.mul_const(fftm.powers(F, w, m), shift)
+    xs_ext = E.from_base(xs)
+
+    sum_vals = None
+    for b, polys in enumerate(batch_indices):
+        npolys = len(polys)
+        alpha_pows = _ext_powers_scalar(E, alpha, npolys)   # (P_b,) ext
+        # reduced opening: sum_j alpha^j v_j (= the Horner the host does)
+        prods = E.mul(alpha_pows, batch_vals[b])
+        red_open = tuple(F.batch_sum(c, axis=-1) for c in prods)
+        # alpha^{P_b} batch shift
+        shift_pow = E.mul(tree_map(lambda a: a[npolys - 1], alpha_pows),
+                          alpha)
+        rows = []
+        start = 0
+        while start < npolys:
+            o = polys[start][0]
+            end = start
+            while end < npolys and polys[end][0] == o:
+                end += 1
+            idx = np.array([polys[j][1] for j in range(start, end)],
+                           dtype=np.int32)
+            rows.append(tree_map(lambda a: a[idx], ldes[o]))
+            start = end
+        stacked = fftm.tconcat(rows, axis=0)          # (P_b, m)
+        # reduced_evals_d(x) = sum_j alpha_pows[j][d] * lde_j(x): base-field
+        # row weights per ext component of alpha^j
+        reduced = []
+        for d in range(E.D):
+            # component d of sum_j alpha^j * lde_j  (lde_j base-field):
+            # = sum_j alpha_pows[j]_d * lde_j
+            wcol = alpha_pows[d]
+            reduced.append(F.batch_sum(
+                F.mul(stacked, tree_map(lambda a: a[:, None], wcol)),
+                axis=0))
+        reduced = tuple(reduced)
+        numerator = E.sub(reduced, red_open)
+        denominator = E.sub(xs_ext, points[b])
+        quotient = E.mul(numerator, E.inv(denominator))
+        if sum_vals is None:
+            sum_vals = quotient
+        else:
+            sum_vals = E.add(E.mul(sum_vals, shift_pow), quotient)
+    coeffs = fftm.ext_coset_ifft(E, sum_vals, shift)
+    return sum_vals, coeffs
+
+
+@partial(jax.jit, static_argnums=(0, 1, 3))
+def _fold_round_async_jit(F, arity, beta, shift, coeffs):
+    """Fold with the beta powers computed on device from the challenge
+    scalar (sync twin: _fold_round_jit with host-int beta_pows)."""
+    E = _ext_ops(F)
+    m = fftm.tshape(coeffs[0])[-1]
+    chunked = tuple(tree_map(lambda a: a.reshape(m // arity, arity), c)
+                    for c in coeffs)
+    folded = None
+    beta_pow = None
+    for r in range(arity):
+        c_r = tuple(tree_map(lambda a: a[:, r], c) for c in chunked)
+        if r == 0:
+            term = c_r
+            beta_pow = beta
+        else:
+            term = E.mul(c_r, beta_pow)
+            beta_pow = E.mul(beta_pow, beta)
+        folded = term if folded is None else E.add(folded, term)
+    values = fftm.ext_coset_fft(E, folded, shift)
+    return folded, values
+
+
+@lru_cache(maxsize=32)
+def _grind_async_jit(F, hasher, L, rate, k, batch):
+    """PoW grind as ONE device program (lax.while_loop over candidate
+    batches); sync twin dispatches one batch per host round trip."""
+    import jax.numpy as jnp
+
+    def grind(state, leftover):
+        if L:
+            state = fftm.tconcat(
+                [leftover, tree_map(lambda a: a[L:], state)], axis=0)
+
+        def cond(carry):
+            return ~carry[0]
+
+        def body(carry):
+            _, start, _ = carry
+            cands = start + jnp.arange(batch, dtype=jnp.uint32)
+            st = tree_map(lambda a: jnp.tile(a, (batch, 1)), state)
+            st = F.grind_set_lane(st, L, cands)
+            out = hasher.permute(st)
+            resp = tree_map(lambda a: a[:, rate - 1], out)
+            ok = F.grind_response_ok(resp, k)
+            idx = jnp.argmax(ok)
+            return ok[idx], start + jnp.uint32(batch), start + idx.astype(
+                jnp.uint32)
+
+        found, _, w = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), bool), jnp.uint32(0), jnp.uint32(0)))
+        return w
+
+    return jax.jit(grind)
+
+
+def fri_proof_async(F, initial_trees, lde_coeffs, lde_values, dc,
+                    fri_params, hasher=poseidon_gl,
+                    grind_batch: int = 1 << 17):
+    """Device-transcript twin of :func:`fri_proof` (reference
+    fri/prover.rs:22-77).  Returns device handles for the final gather:
+    (fold trees, final_coeffs, pow_witness scalar, pow_ok flag,
+    query challenges)."""
+    spec = F.SPEC
+    E = _ext_ops(F)
+    cap_height = fri_params.config.cap_height
+
+    trees: List[merkle.MerkleTree] = []
+    coeffs = lde_coeffs
+    values = lde_values
+    shift = spec.coset_shift
+    for arity_bits in fri_params.reduction_arity_bits:
+        arity = 1 << arity_bits
+        leaves, levels = _round_commit_jit(F, values, arity, cap_height,
+                                           hasher)
+        tree = merkle.MerkleTree(leaves, cap_height, hasher, levels=levels)
+        dc.observe_cap(tree.cap, 1 << cap_height, hasher.NUM_HASH_OUT)
+        trees.append(tree)
+
+        beta = dc.get_extension_challenge(E.D)
+        shift = pow(shift, arity, spec.p)
+        coeffs, values = _fold_round_async_jit(F, arity, beta, shift, coeffs)
+
+    m = fftm.tshape(coeffs[0])[-1]
+    keep = m >> fri_params.config.rate_bits
+    final_coeffs = tuple(tree_map(lambda a: a[:keep], c) for c in coeffs)
+    dc.observe_ext_flat(final_coeffs, keep, E.D)
+
+    # PoW grind (reference fri/prover.rs:136-188) in one device program
+    state, leftover, L = dc.grind_inputs()
+    min_lz = fri_params.config.proof_of_work_bits + (64 - spec.bits)
+    k = 64 - min_lz
+    grind = _grind_async_jit(F, hasher, L, hasher.RATE, k, grind_batch)
+    w = grind(state, leftover) if L else grind(state, F.zeros((0,)))
+    pow_witness = F.from_u32(w)
+    dc.observe_array(tree_map(lambda a: a[None], pow_witness), 1)
+    pow_response = dc.get_challenge_scalar()
+    pow_ok = F.grind_response_ok(
+        tree_map(lambda a: a[None], pow_response), k)
+
+    query_challenges = dc.get_n_challenges(
+        fri_params.config.num_query_rounds)
+    return trees, final_coeffs, pow_witness, pow_ok, query_challenges
+
+
+def prove_openings_async(F, instance, oracles, dc, fri_params, batch_vals,
+                         points, hasher=poseidon_gl):
+    """Device-transcript twin of :func:`prove_openings` (reference
+    fri/oracle.rs:185-248).  ``batch_vals``: per batch the claimed opening
+    values as D component arrays (P_b,) in FRI order (from the async
+    opening-set program); ``points``: device ext scalars (zeta, g*zeta)."""
+    E = _ext_ops(F)
+    alpha = dc.get_extension_challenge(E.D)
+
+    batch_indices = tuple(
+        tuple((p.oracle_index, p.polynomial_index)
+              for p in batch.polynomials)
+        for batch in instance.batches)
+    combine = _get_combine_async_jit(F, oracles[0], batch_indices,
+                                     F.SPEC.coset_shift)
+    values, coeffs = combine(tuple(o.lde for o in oracles), alpha,
+                             tuple(batch_vals), tuple(points))
+    return fri_proof_async(F, oracles, coeffs, values, dc, fri_params,
+                           hasher)
+
+
+def _get_combine_async_jit(F, anchor_oracle, batch_indices, shift):
+    cache = getattr(anchor_oracle, "_combine_async_jit_cache", None)
+    if cache is None:
+        cache = {}
+        anchor_oracle._combine_async_jit_cache = cache
+    key = (F.SPEC.name, batch_indices, shift)
+    if key not in cache:
+        cache[key] = jax.jit(
+            partial(_combine_and_ifft_async, F, batch_indices, shift))
+    return cache[key]

@@ -49,13 +49,32 @@ def prove(prover_data, common, inputs: PartialWitness,
 
     ``timing`` is an optional ``utils.timing.ProvingProcessInfo``; phases
     push scopes into it (reference util/proving_process_info.rs)."""
+    from ..utils.envflags import env_flag
+    from .witness_transfer import WitnessTransfer
+
     with timed(timing, "run witness generators"):
         partition_witness = generate_partial_witness(inputs, prover_data,
                                                      common)
         set_lookup_wires(prover_data, common, partition_witness)
         public_inputs = partition_witness.get_targets(
             prover_data.public_inputs)
-        witness = partition_witness.full_witness()
+        # lookup circuits read the dense matrix on host
+        # (compute_lookup_polys); others ship the compact rep values and
+        # scatter on device (witness_transfer.py)
+        dense = (common.num_lookup_polys != 0
+                 or env_flag("PLONKY2_TPU_DENSE_WITNESS"))
+        wt = WitnessTransfer(F, partition_witness, prover_data, common,
+                             dense=dense)
+        witness = wt.matrix
+
+    from . import prover_async
+
+    # Device-transcript pipeline: async dispatch chain, ONE blocking fetch.
+    # The sync host-challenger path remains for byte-digest hashers
+    # (Keccak), for phase-attributed timing runs, and as a kill switch.
+    use_async = (timing is None
+                 and prover_async.available(F, hasher, common.config)
+                 and not env_flag("PLONKY2_TPU_SYNC_FS"))
 
     for retry_idx in range(MAX_PERM_ARG_RETRIES):
         if retry_idx > 0:
@@ -64,10 +83,15 @@ def prove(prover_data, common, inputs: PartialWitness,
             if timing is not None:
                 timing.incr(StatisticsItem.PERM_ARG_RETRIES)
             row, col = prover_data.random_wire
-            witness[col, row] = rand_field_element(common.spec.p)
+            wt.set(row, col, rand_field_element(common.spec.p))
         try:
-            return _internal_prove(prover_data, common, witness,
-                                   public_inputs, F, hasher,
+            wires_values = wt.device_values()
+            if use_async:
+                return prover_async.internal_prove_async(
+                    prover_data, common, wires_values, witness,
+                    public_inputs, F, hasher, inner_hasher or hasher)
+            return _internal_prove(prover_data, common, wires_values,
+                                   witness, public_inputs, F, hasher,
                                    inner_hasher or hasher, timing)
         except InvZeroPermArg:
             continue
@@ -521,10 +545,12 @@ def _kernels(prover_data, common, F, hasher) -> ProverKernels:
     return k
 
 
-def _internal_prove(prover_data, common, witness: np.ndarray,
-                    public_inputs: List[int], F, hasher,
-                    inner_hasher=None, timing=None
+def _internal_prove(prover_data, common, wires_values,
+                    witness: np.ndarray, public_inputs: List[int], F,
+                    hasher, inner_hasher=None, timing=None
                     ) -> ProofWithPublicInputs:
+    """``wires_values``: dense (num_wires, degree) device matrix;
+    ``witness``: the host matrix (lookup circuits only, else None)."""
     spec = common.spec
     config = common.config
     rate_bits = config.fri_config.rate_bits
@@ -539,7 +565,6 @@ def _internal_prove(prover_data, common, witness: np.ndarray,
 
     zk = config.zero_knowledge   # oracle blinding flags, plonk_common.rs:24-40
     with timed(timing, "compute wire polynomials + commit"):
-        wires_values = F.from_ints(witness)   # (num_wires, degree)
         wires_commitment = PolynomialBatch.from_values(
             F, wires_values, rate_bits, cap_height, hasher=hasher,
             blinding=zk)

@@ -623,3 +623,272 @@ def write_proof_with_public_inputs(pwp: ProofWithPublicInputs,
     w.write_usize(len(pwp.public_inputs))
     w.write_field_vec(pwp.public_inputs)
     return bytes(w.out)
+
+
+# -- compressed proof bytes (reference serialization/mod.rs:1102-1230,
+#    2168-2214: write_compressed_proof / read_compressed_proof) --------------
+
+
+def write_compressed_proof_with_public_inputs(cpwp, common) -> bytes:
+    """reference mod.rs:2216-2245 write_compressed_proof_with_public_inputs.
+    Note the reference frames public inputs by the REMAINING buffer length
+    (mod.rs:1226), so no count prefix is written."""
+    spec = common.spec
+    w = Writer()
+    p = cpwp.proof
+    w.write_merkle_cap(p.wires_cap, spec)
+    w.write_merkle_cap(p.plonk_zs_partial_products_cap, spec)
+    w.write_merkle_cap(p.quotient_polys_cap, spec)
+    o = p.openings
+    w.write_field_ext_vec(o.constants)
+    w.write_field_ext_vec(o.plonk_sigmas)
+    w.write_field_ext_vec(o.wires)
+    w.write_field_ext_vec(o.plonk_zs)
+    w.write_field_ext_vec(o.plonk_zs_next)
+    w.write_field_ext_vec(o.lookup_zs)
+    w.write_field_ext_vec(o.lookup_zs_next)
+    w.write_field_ext_vec(o.partial_products)
+    w.write_field_ext_vec(o.quotient_polys)
+    f = p.opening_proof
+    for cap in f.commit_phase_merkle_caps:
+        w.write_merkle_cap(cap, spec)
+    cf = f.query_round_proofs
+    for i in cf.indices:
+        w.write_u32(i)
+    for _, itp in sorted(cf.initial_trees_proofs.items()):
+        for vals, mp in itp.evals_proofs:
+            w.write_field_vec(vals)
+            w.write_merkle_proof(mp, spec)
+    for step_map in cf.steps:
+        for _, fqs in sorted(step_map.items()):
+            w.write_field_ext_vec(fqs.evals)      # arity-1 evals
+            w.write_merkle_proof(fqs.merkle_proof, spec)
+    w.write_field_ext_vec(f.final_poly)
+    w.write_field(f.pow_witness)
+    w.write_field_vec(cpwp.public_inputs)         # remaining-length framed
+    return bytes(w.out)
+
+
+def read_compressed_proof_with_public_inputs(data: bytes, common):
+    """reference mod.rs:1102-1230."""
+    from .compression import (CompressedFriProof, CompressedFriQueryRounds,
+                              CompressedProof,
+                              CompressedProofWithPublicInputs)
+
+    spec = common.spec
+    config = common.config
+    ch = config.fri_config.cap_height
+    buf = Buffer(data)
+    wires_cap = buf.read_merkle_cap(ch, spec)
+    zs_pp_cap = buf.read_merkle_cap(ch, spec)
+    quotient_cap = buf.read_merkle_cap(ch, spec)
+
+    constants = buf.read_field_ext_vec(common.num_constants, spec)
+    plonk_sigmas = buf.read_field_ext_vec(config.num_routed_wires, spec)
+    wires = buf.read_field_ext_vec(config.num_wires, spec)
+    plonk_zs = buf.read_field_ext_vec(config.num_challenges, spec)
+    plonk_zs_next = buf.read_field_ext_vec(config.num_challenges, spec)
+    lookup_zs = buf.read_field_ext_vec(common.num_all_lookup_polys(), spec)
+    lookup_zs_next = buf.read_field_ext_vec(common.num_all_lookup_polys(),
+                                            spec)
+    partial_products = buf.read_field_ext_vec(
+        common.num_partial_products * config.num_challenges, spec)
+    quotient_polys = buf.read_field_ext_vec(
+        common.quotient_degree_factor * config.num_challenges, spec)
+    openings = OpeningSet(
+        constants=constants, plonk_sigmas=plonk_sigmas, wires=wires,
+        plonk_zs=plonk_zs, plonk_zs_next=plonk_zs_next,
+        partial_products=partial_products, quotient_polys=quotient_polys,
+        lookup_zs=lookup_zs, lookup_zs_next=lookup_zs_next)
+
+    salt = 4 if common.fri_params.hiding else 0
+    caps = [buf.read_merkle_cap(ch, spec)
+            for _ in common.fri_params.reduction_arity_bits]
+    original_indices = [buf.read_u32()
+                        for _ in range(config.fri_config.num_query_rounds)]
+    indices = sorted(set(original_indices))
+    initial_trees_proofs = {}
+    for i in indices:
+        evals_proofs = []
+        for n in [common.num_constants + config.num_routed_wires,
+                  config.num_wires + salt,
+                  config.num_challenges * (1 + common.num_partial_products
+                                           + common.num_lookup_polys) + salt,
+                  config.num_challenges * common.quotient_degree_factor
+                  + salt]:
+            vals = buf.read_field_vec(n, spec)
+            mp = buf.read_merkle_proof(spec)
+            evals_proofs.append((vals, mp))
+        initial_trees_proofs[i] = FriInitialTreeProof(evals_proofs)
+    steps = []
+    cur = list(indices)
+    for ar in common.fri_params.reduction_arity_bits:
+        cur = sorted(set(x >> ar for x in cur))
+        step_map = {}
+        for i in cur:
+            evals = buf.read_field_ext_vec((1 << ar) - 1, spec)
+            mp = buf.read_merkle_proof(spec)
+            step_map[i] = FriQueryStep(evals=evals, merkle_proof=mp)
+        steps.append(step_map)
+    final_poly = buf.read_field_ext_vec(common.fri_params.final_poly_len,
+                                        spec)
+    pow_witness = buf.read_field(spec)
+    remaining = (len(data) - buf.pos) // 8
+    public_inputs = buf.read_field_vec(remaining, spec)
+    assert buf.pos == len(data)
+    return CompressedProofWithPublicInputs(
+        proof=CompressedProof(
+            wires_cap=wires_cap,
+            plonk_zs_partial_products_cap=zs_pp_cap,
+            quotient_polys_cap=quotient_cap,
+            openings=openings,
+            opening_proof=CompressedFriProof(
+                commit_phase_merkle_caps=caps,
+                query_round_proofs=CompressedFriQueryRounds(
+                    indices=original_indices,
+                    initial_trees_proofs=initial_trees_proofs,
+                    steps=steps),
+                final_poly=final_poly,
+                pow_witness=pow_witness)),
+        public_inputs=public_inputs)
+
+
+# -- prover-only checkpoint bytes (reference circuit_data.rs:348-365,
+#    serialization/mod.rs:858-956, 1939-2027) --------------------------------
+#
+# TPU-native trade-off: the reference serializes the constants/sigmas
+# PolynomialBatch including its full LDE + Merkle digest buffer; here the
+# commitment is checkpointed as coefficients + parameters and the device
+# tree is REBUILT on load (bit-exact, and the rebuild is a single fused
+# device program — cheaper than shipping the digest buffer through the
+# host).  Everything else round-trips losslessly.
+
+
+def write_prover_only_circuit_data(prover_data, common) -> bytes:
+    from . import generator_serialization as gser
+
+    spec = common.spec
+    w = Writer()
+    gen_bytes = gser.write_generators(prover_data.generators, spec)
+    w.write_usize(len(gen_bytes))
+    w.out += gen_bytes
+    watches = prover_data.generator_indices_by_watches
+    w.write_usize(len(watches))
+    for k in sorted(watches):
+        w.write_usize(k)
+        w.write_usize_vec(watches[k])
+
+    csc = prover_data.constants_sigmas_commitment
+    coeffs = csc.F.to_ints(csc.coeffs)
+    num_polys, n = coeffs.shape
+    w.write_usize(num_polys)
+    w.write_usize(n)
+    for row in coeffs:
+        w.write_field_vec(row)
+    w.write_usize(csc.rate_bits)
+    w.write_usize(csc.cap_height)
+    w.write_bool(csc.blinding)
+
+    sig = np.asarray(prover_data.sigmas, dtype=np.uint64)
+    w.write_usize(sig.shape[0])
+    w.write_usize(sig.shape[1])
+    for row in sig:
+        w.write_field_vec(row)
+    w.write_usize(len(prover_data.subgroup))
+    w.write_field_vec(prover_data.subgroup)
+    gser_w = gser._W(spec)
+    gser_w.value(list(prover_data.public_inputs))
+    pi_b = gser_w.to_bytes()
+    w.write_usize(len(pi_b))
+    w.out += pi_b
+    rep = np.asarray(prover_data.representative_map, dtype=np.int64)
+    w.write_usize(len(rep))
+    w.out += rep.tobytes()
+    w.write_usize(len(prover_data.circuit_digest))
+    w.write_field_vec(prover_data.circuit_digest)
+    w.write_usize(len(prover_data.lookup_rows))
+    for last_lu, last_lut, first_lut in prover_data.lookup_rows:
+        w.write_usize(last_lu)
+        w.write_usize(last_lut)
+        w.write_usize(first_lut)
+    lw = gser._W(spec)
+    lw.value([list(map(list, tl)) for tl in prover_data.lut_to_lookups])
+    lb = lw.to_bytes()
+    w.write_usize(len(lb))
+    w.out += lb
+    if prover_data.random_wire is None:
+        w.write_usize(0)
+        w.write_usize(0)
+        w.write_bool(False)
+    else:
+        w.write_usize(prover_data.random_wire[0])
+        w.write_usize(prover_data.random_wire[1])
+        w.write_bool(True)
+    return bytes(w.out)
+
+
+def read_prover_only_circuit_data(data: bytes, common, F=None, hasher=None):
+    from ..field import gl as gl_mod
+    from ..fri.oracle import PolynomialBatch
+    from ..hash import poseidon_gl
+    from . import generator_serialization as gser
+    from .circuit_data import ProverOnlyCircuitData
+
+    spec = common.spec
+    if F is None:
+        F = gl_mod if spec.bits > 32 else __import__(
+            "plonky2_goldibear_tpu.field.bb", fromlist=["bb"])
+    if hasher is None:
+        hasher = poseidon_gl if spec.bits > 32 else __import__(
+            "plonky2_goldibear_tpu.hash.poseidon2_bb",
+            fromlist=["poseidon2_bb"])
+    buf = Buffer(data)
+    n = buf.read_usize()
+    generators = gser.read_generators(buf.read_exact(n), spec, common.config)
+    watches = {}
+    for _ in range(buf.read_usize()):
+        k = buf.read_usize()
+        watches[k] = buf.read_usize_vec()
+
+    num_polys = buf.read_usize()
+    deg = buf.read_usize()
+    coeffs = np.array([buf.read_field_vec(deg, spec)
+                       for _ in range(num_polys)], dtype=np.uint64)
+    rate_bits = buf.read_usize()
+    cap_height = buf.read_usize()
+    blinding = buf.read_bool()
+    csc = PolynomialBatch(F, F.from_ints(coeffs), rate_bits, cap_height,
+                          hasher=hasher, blinding=blinding)
+
+    r0 = buf.read_usize()
+    r1 = buf.read_usize()
+    sigmas = np.array([buf.read_field_vec(r1, spec) for _ in range(r0)],
+                      dtype=np.uint64)
+    subgroup = buf.read_field_vec(buf.read_usize(), spec)
+    n = buf.read_usize()
+    public_inputs = [tuple(t) for t in gser._R(
+        buf.read_exact(n), spec).value()]
+    n = buf.read_usize()
+    rep = np.frombuffer(buf.read_exact(n * 8), dtype=np.int64).copy()
+    circuit_digest = buf.read_field_vec(buf.read_usize(), spec)
+    lookup_rows = [(buf.read_usize(), buf.read_usize(), buf.read_usize())
+                   for _ in range(buf.read_usize())]
+    n = buf.read_usize()
+    lut_to_lookups = [[tuple(pair) for pair in tl]
+                      for tl in gser._R(buf.read_exact(n), spec).value()]
+    row = buf.read_usize()
+    col = buf.read_usize()
+    has_rw = buf.read_bool()
+    assert buf.pos == len(data)
+    return ProverOnlyCircuitData(
+        generators=generators,
+        generator_indices_by_watches=watches,
+        constants_sigmas_commitment=csc,
+        sigmas=sigmas,
+        subgroup=subgroup,
+        public_inputs=public_inputs,
+        representative_map=rep,
+        circuit_digest=circuit_digest,
+        random_wire=(row, col) if has_rw else None,
+        lookup_rows=lookup_rows,
+        lut_to_lookups=lut_to_lookups)
