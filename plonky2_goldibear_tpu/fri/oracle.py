@@ -119,6 +119,110 @@ _commit_values_streaming_jit = jax.jit(
     commit_values_streaming, static_argnums=(0, 2, 3, 4, 5))
 
 
+def commit_coeffs_streaming(F, coeffs, rate_bits: int, cap_height: int,
+                            shift: Optional[int] = None,
+                            hasher=poseidon_gl):
+    """Streaming commit from coefficients: (digest levels,) only.
+    Same block-sponge schedule as ``commit_values_streaming`` (bit-identical
+    caps to the dense ``commit_coeffs``); reference fri/oracle.rs:95-123."""
+    sh = F.SPEC.coset_shift if shift is None else shift
+    rate = hasher.RATE
+    width = hasher.WIDTH
+    num_out = hasher.NUM_HASH_OUT
+    num_polys, n = fftm.tshape(coeffs)
+    assert num_polys > num_out, "streaming commit expects a hashed leaf"
+    m = n << rate_bits
+    state = F.zeros((m, width))
+    for j in range(0, num_polys, rate):
+        blk = tree_map(lambda a: a[j:j + rate], coeffs)
+        lde = lde_values(F, blk, rate_bits, sh)
+        rows = leaves_from_lde(F, lde)
+        k = fftm.tshape(rows)[-1]
+        state = fftm.tconcat(
+            [rows, tree_map(lambda a: a[..., k:], state)], axis=-1)
+        state = hasher.permute(state)
+    d0 = tree_map(lambda a: a[..., :num_out], state)
+    num_layers = host.log2_strict(m) - cap_height
+    return merkle.build_levels(d0, num_layers, hasher)
+
+
+_commit_coeffs_streaming_jit = jax.jit(
+    commit_coeffs_streaming, static_argnums=(0, 2, 3, 4, 5))
+
+
+class StreamingTree:
+    """Merkle tree holding digest levels only (no leaf rows).
+
+    ``levels`` matches a dense MerkleTree's digest levels bit-for-bit
+    (levels[0] is the per-leaf digest row), so sibling chains for query
+    proofs gather identically (``prove_batch`` delegates to MerkleTree's
+    fused device gather); leaf ROWS are re-derived from polynomial
+    coefficients by the large-domain query path
+    (plonk/prover_large.py)."""
+
+    def __init__(self, F, levels, cap_height: int, hasher):
+        self._field = F
+        self.levels = levels
+        self.cap_height = cap_height
+        self.hasher = hasher
+        m = fftm.tshape(levels[0])[0]
+        self.num_layers = host.log2_strict(m) - cap_height
+        self.cap = levels[-1]
+        self._host_levels = None
+
+    @property
+    def _F(self):
+        return getattr(self.hasher, "F", self._field)
+
+    def cap_host(self):
+        return merkle.MerkleTree.cap_host(self)
+
+    def _levels_host(self):
+        return merkle.MerkleTree._levels_host(self)
+
+    def prove_batch(self, leaf_indices):
+        return merkle.MerkleTree.prove_batch(self, leaf_indices)
+
+
+class StreamingPolynomialBatch:
+    """Memory-lean FRI oracle for large domains: coefficients + digest
+    levels resident; the LDE and leaf rows are NEVER materialized
+    (re-derived blockwise by the large-domain prover).  Cap/coeffs are
+    bit-identical to ``PolynomialBatch`` (reference fri/oracle.rs:29-123;
+    capability target: BASELINE configs with 2^24-point LDEs that exceed
+    single-chip HBM in dense form)."""
+
+    def __init__(self, F, coeffs, rate_bits: int, cap_height: int,
+                 shift: Optional[int] = None, hasher=poseidon_gl,
+                 levels=None):
+        self.F = F
+        self.coeffs = coeffs
+        self.rate_bits = rate_bits
+        self.cap_height = cap_height
+        self.blinding = False
+        self.shift = F.SPEC.coset_shift if shift is None else shift
+        self.hasher = hasher
+        if levels is None:
+            levels = _commit_coeffs_streaming_jit(
+                F, coeffs, rate_bits, cap_height, self.shift, hasher)
+        self.num_polys, self.degree = fftm.tshape(coeffs)
+        self.degree_bits = host.log2_strict(self.degree)
+        self.lde_size = self.degree << rate_bits
+        self.tree = StreamingTree(F, levels, cap_height, hasher)
+
+    @classmethod
+    def from_values(cls, F, values, rate_bits: int, cap_height: int,
+                    shift: Optional[int] = None, hasher=poseidon_gl):
+        sh = F.SPEC.coset_shift if shift is None else shift
+        coeffs, levels = _commit_values_streaming_jit(
+            F, values, rate_bits, cap_height, sh, hasher)
+        return cls(F, coeffs, rate_bits, cap_height, sh, hasher,
+                   levels=levels)
+
+    def cap_host(self):
+        return self.tree.cap_host()
+
+
 def _salted_tree(F, lde, salt, cap_height: int, hasher):
     salted = fftm.tconcat([lde, salt], axis=0)
     leaves = leaves_from_lde(F, salted)

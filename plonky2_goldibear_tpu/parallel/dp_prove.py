@@ -13,9 +13,13 @@ This is the first half of the BASELINE configs[4] scale target (256 proofs
 batch-DP); the reference's analog is running independent prover processes
 (maybe_rayon parallelism, reference plonky2/src/plonk/prover.rs:136).
 
-Scope: non-zk, non-lookup circuits (asserted); same proof bytes as N
-sequential ``prove`` calls given the same witnesses, so the standard
-verifier accepts each proof.
+Scope: full parity with the sequential prover — zk (per-proof blinding
+salts, drawn in the sequential prover's global stream order so proofs stay
+byte-identical, reference fri/oracle.rs:139-149) and lookup circuits
+(per-proof delta transcripts + device-scan lookup polys, reference
+prover.rs:283-299,555-674) included.  Same proof bytes as N sequential
+``prove`` calls given the same witnesses/stream, so the standard verifier
+accepts each proof.
 """
 
 from __future__ import annotations
@@ -81,26 +85,43 @@ def dp_prove_batch(prover_data, common, inputs_list, mesh,
     degree = common.degree
     shift = spec.coset_shift
     E = plonk_prover._ext_ops(F)
-    assert not config.zero_knowledge, "dp_prove_batch: zk not supported"
-    assert common.num_lookup_polys == 0, "dp_prove_batch: lookups not supported"
+    zk = config.zero_knowledge
+    has_lookup = common.num_lookup_polys != 0
 
     kern = plonk_prover._kernels(prover_data, common, F, hasher)
 
     # ---- host: witness generation per proof --------------------------------
+    # zk salts draw per proof HERE, in the exact global-stream order the
+    # sequential prover consumes them (witgen, then wires/zs/quotient salts,
+    # per proof) so deterministic-mode proofs stay byte-identical.
+    lde_size = degree << rate_bits
+
+    def draw_salts():
+        return (oracle._random_salt(F, lde_size),
+                oracle._random_salt(F, lde_size),
+                oracle._random_salt(F, lde_size))
+
     witnesses = []
     publics = []
     pi_hashes = []
+    salts = []
     if witnesses_publics is not None:
         for w, pub in witnesses_publics:
             witnesses.append(w)
             publics.append(pub)
             pi_hashes.append(hasher.hash_no_pad_host(pub))
+            if zk:
+                salts.append(draw_salts())
     else:
         for pw in inputs_list:
             partition = generate_partial_witness(pw, prover_data, common)
+            if has_lookup:
+                plonk_prover.set_lookup_wires(prover_data, common, partition)
             publics.append(partition.get_targets(prover_data.public_inputs))
             witnesses.append(partition.full_witness())
             pi_hashes.append(hasher.hash_no_pad_host(publics[-1]))
+            if zk:
+                salts.append(draw_salts())
     B = len(witnesses)
 
     def to_arr(vals):
@@ -114,16 +135,26 @@ def dp_prove_batch(prover_data, common, inputs_list, mesh,
     # ---- phase 1: batched wires commit -------------------------------------
     wires_b = _shard_b(mesh, F.from_ints(np.stack(witnesses)))  # (B, W, D)
 
-    commit_values_b = jax.jit(jax.vmap(
-        lambda v: oracle.commit_values(F, v, rate_bits, cap_height, shift,
-                                       hasher)))
-    w_coeffs, w_lde, w_leaves, w_levels = commit_values_b(wires_b)
+    def stack_f(arrs):
+        return _shard_b(mesh, tree_map(lambda *ls: jnp.stack(ls), *arrs))
+
+    if zk:
+        commit_values_b = jax.jit(jax.vmap(
+            lambda v, s: oracle.commit_values_salted(
+                F, v, s, rate_bits, cap_height, shift, hasher)))
+        w_coeffs, w_lde, w_leaves, w_levels = commit_values_b(
+            wires_b, stack_f([s[0] for s in salts]))
+    else:
+        commit_values_b = jax.jit(jax.vmap(
+            lambda v: oracle.commit_values(F, v, rate_bits, cap_height,
+                                           shift, hasher)))
+        w_coeffs, w_lde, w_leaves, w_levels = commit_values_b(wires_b)
     wires_caps = [merkle.MerkleTree(_slice_b(w_leaves, b), cap_height,
                                     hasher, levels=_slice_b(w_levels, b))
                   for b in range(B)]
 
     challengers = []
-    betas_b, gammas_b = [], []
+    betas_b, gammas_b, deltas_b = [], [], []
     for b in range(B):
         ch = Challenger(spec=spec, permute=hasher.permute_host,
                         width=hasher.WIDTH, rate=hasher.RATE)
@@ -132,6 +163,13 @@ def dp_prove_batch(prover_data, common, inputs_list, mesh,
         ch.observe_cap(wires_caps[b].cap_host())
         betas_b.append(ch.get_n_challenges(nch))
         gammas_b.append(ch.get_n_challenges(nch))
+        if has_lookup:
+            # reuse betas and gammas as the first deltas (prover.rs:283-299)
+            additional = ch.get_n_challenges(2 * nch)
+            deltas_b.append(list(betas_b[-1]) + list(gammas_b[-1])
+                            + additional)
+        else:
+            deltas_b.append([])
         challengers.append(ch)
 
     # ---- phase 2: batched partial products ---------------------------------
@@ -143,8 +181,29 @@ def dp_prove_batch(prover_data, common, inputs_list, mesh,
         raise plonk_prover.InvZeroPermArg(
             "dp_prove_batch: permutation argument hit a zero denominator")
 
+    lut_re_b = []
+    if has_lookup:
+        from ..plonk import vanishing
+        lookup_rows_b = []
+        for b in range(B):
+            cols = []
+            for i in range(nch):
+                cols.extend(plonk_prover.compute_lookup_polys(
+                    common, prover_data, witnesses[b],
+                    deltas_b[b][4 * i:4 * (i + 1)]))
+            lookup_rows_b.append(np.array(cols, dtype=np.uint64))
+            lut_re_b.append([v for evs in vanishing.get_lut_re_evals(
+                common, deltas_b[b]) for v in evs])
+        lookup_arr_b = _shard_b(mesh, F.from_ints(np.stack(lookup_rows_b)))
+        zs_pp_b = tree_map(lambda a, l: jnp.concatenate([a, l], axis=1),
+                           zs_pp_b, lookup_arr_b)
+
     # ---- phase 3: batched Z/partial-product commit -------------------------
-    z_coeffs, z_lde, z_leaves, z_levels = commit_values_b(zs_pp_b)
+    if zk:
+        z_coeffs, z_lde, z_leaves, z_levels = commit_values_b(
+            zs_pp_b, stack_f([s[1] for s in salts]))
+    else:
+        z_coeffs, z_lde, z_leaves, z_levels = commit_values_b(zs_pp_b)
     zs_trees = [merkle.MerkleTree(_slice_b(z_leaves, b), cap_height, hasher,
                                   levels=_slice_b(z_levels, b))
                 for b in range(B)]
@@ -155,18 +214,26 @@ def dp_prove_batch(prover_data, common, inputs_list, mesh,
 
     # ---- phase 4: batched quotient -----------------------------------------
     cs_lde = prover_data.constants_sigmas_commitment.lde
-    empty = to_arr([])
     quot_b_fn = jax.vmap(
-        lambda wl, zl, pi, be, ga, al: kern.quotient_fn(
-            cs_lde, wl, zl, pi, be, ga, al, empty, empty))
+        lambda wl, zl, pi, be, ga, al, de, lr: kern.quotient_fn(
+            cs_lde, wl, zl, pi, be, ga, al, de, lr),
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
     quot_coeffs_b = quot_b_fn(
         w_lde, z_lde, stack_ints(pi_hashes), stack_ints(betas_b),
-        stack_ints(gammas_b), stack_ints(alphas_b))
+        stack_ints(gammas_b), stack_ints(alphas_b), stack_ints(deltas_b),
+        stack_ints(lut_re_b if has_lookup else [[] for _ in range(B)]))
 
-    commit_coeffs_b = jax.jit(jax.vmap(
-        lambda c: oracle.commit_coeffs(F, c, rate_bits, cap_height, shift,
-                                       hasher)))
-    q_lde, q_leaves, q_levels = commit_coeffs_b(quot_coeffs_b)
+    if zk:
+        commit_coeffs_b = jax.jit(jax.vmap(
+            lambda c, s: oracle.commit_coeffs_salted(
+                F, c, s, rate_bits, cap_height, shift, hasher)))
+        q_lde, q_leaves, q_levels = commit_coeffs_b(
+            quot_coeffs_b, stack_f([s[2] for s in salts]))
+    else:
+        commit_coeffs_b = jax.jit(jax.vmap(
+            lambda c: oracle.commit_coeffs(F, c, rate_bits, cap_height,
+                                           shift, hasher)))
+        q_lde, q_leaves, q_levels = commit_coeffs_b(quot_coeffs_b)
     zetas = []
     for b in range(B):
         q_tree = merkle.MerkleTree(_slice_b(q_leaves, b), cap_height,
@@ -207,6 +274,7 @@ def dp_prove_batch(prover_data, common, inputs_list, mesh,
     s0, s1 = common.sigmas_range()
     z0, z1 = common.zs_range()
     pp0, pp1 = common.partial_products_range()
+    lk0 = common.num_zs_partial_products_polys()
 
     openings_list = []
     for b in range(B):
@@ -233,7 +301,7 @@ def dp_prove_batch(prover_data, common, inputs_list, mesh,
             wires=wires_eval, plonk_zs=zs_eval[z0:z1],
             plonk_zs_next=zs_next_eval[z0:z1],
             partial_products=zs_eval[pp0:pp1], quotient_polys=q_eval,
-            lookup_zs=[], lookup_zs_next=[]))
+            lookup_zs=zs_eval[lk0:], lookup_zs_next=zs_next_eval[lk0:]))
 
     # ---- phase 6: FRI (batched combine + per-round batched fold/commit) ----
     proofs = []

@@ -161,6 +161,40 @@ def sharded_fold_round(F, arity: int, beta_pows, shift: int, coeffs,
     return fri_prover._fold_round_jit(F, arity, beta_pows, shift, coeffs)
 
 
+def prove_sharded(prover_data, common, inputs, mesh: Mesh, F=None,
+                  hasher=None):
+    """ONE proof produced cooperatively by every device of ``mesh``
+    (SURVEY §5.8; reference parity bar maybe_rayon/src/lib.rs:30 — the
+    parallel backend covers the *whole* prover, not isolated phases).
+
+    TPU-native composition: the dense wire matrix enters with its point
+    (row) axis sharded over the mesh, so every per-phase jitted program —
+    IFFT/LDE + Merkle commit, partial-product scans, whole-domain quotient
+    evaluation, opening sums, FRI combine/fold — compiles under GSPMD with
+    the operand shardings and runs SPMD with XLA-inserted collectives
+    (all_to_all at the leaf transpose, collective-permute for next-row
+    rolls, all_gathers where a phase needs replication).  Fiat-Shamir stays
+    replicated on host, so the proof is byte-identical to the single-chip
+    prover's for the same witness (cross-checked in dryrun stage 5 and
+    tests/test_sharded_prove.py)."""
+    from ..field import gl as gl_mod
+    from ..iop.generator import generate_partial_witness
+    from ..plonk import prover as plonk_prover
+
+    F = F if F is not None else gl_mod
+    h = hasher if hasher is not None else poseidon_gl
+    partition = generate_partial_witness(inputs, prover_data, common)
+    plonk_prover.set_lookup_wires(prover_data, common, partition)
+    publics = partition.get_targets(prover_data.public_inputs)
+    witness = partition.full_witness()
+    wires = F.from_ints(witness)
+    wires = tree_map(lambda a: jax.device_put(a, points_sharding(mesh)),
+                     wires)
+    host_matrix = witness if common.num_lookup_polys != 0 else None
+    return plonk_prover._internal_prove(
+        prover_data, common, wires, host_matrix, publics, F, h, h)
+
+
 def dp_commit_batch(F, coeffs_batch, rate_bits: int, cap_height: int,
                     mesh: Mesh, shift=None, hasher=poseidon_gl):
     """Data-parallel batch-of-proofs commit: (B, polys, n) with B sharded.

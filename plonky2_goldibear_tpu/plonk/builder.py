@@ -723,7 +723,12 @@ class CircuitBuilder:
 
     # -- build (reference circuit_builder.rs:1110-1360) -----------------------
 
-    def build(self) -> CircuitData:
+    def build(self, commit_streaming: bool = False) -> CircuitData:
+        """``commit_streaming``: commit constants+sigmas via the
+        memory-lean streaming oracle (coeffs + digest levels only, no
+        resident LDE/leaves) — required for degrees whose dense LDE
+        exceeds device memory; such circuits prove via
+        plonk/prover_large.py:prove_large.  Caps are bit-identical."""
         config = self.config
         spec = self.spec
         p = spec.p
@@ -809,9 +814,16 @@ class CircuitBuilder:
         constants_sigmas = np.stack(
             [np.asarray(v, dtype=np.uint64) for v in constant_vecs]
             + [sigma_vecs[j] for j in range(len(k_is))])
-        constants_sigmas_commitment = PolynomialBatch.from_values(
-            self.F, self.F.from_ints(constants_sigmas), rate_bits,
-            cap_height, hasher=self.hasher)
+        if commit_streaming:
+            from ..fri.oracle import StreamingPolynomialBatch
+            constants_sigmas_commitment = \
+                StreamingPolynomialBatch.from_values(
+                    self.F, self.F.from_ints(constants_sigmas), rate_bits,
+                    cap_height, hasher=self.hasher)
+        else:
+            constants_sigmas_commitment = PolynomialBatch.from_values(
+                self.F, self.F.from_ints(constants_sigmas), rate_bits,
+                cap_height, hasher=self.hasher)
 
         # gate generators, minus unused slot ops
         # (reference circuit_builder.rs:1252-1267)

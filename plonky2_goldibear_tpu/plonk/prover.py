@@ -141,8 +141,22 @@ def set_lookup_wires(prover_data, common, pw):
 
 
 def compute_lookup_polys(common, prover_data, witness, deltas4):
-    """Host computation of RE + partial SLDC columns for one challenge set
-    (reference prover.rs:555-674); rows are upside down, built backwards."""
+    """RE + partial SLDC columns for one challenge set (reference
+    prover.rs:555-674); rows are upside down, built backwards.
+
+    Dispatches to the batched device implementation (scans over the row
+    axis) unless PLONKY2_TPU_HOST_LOOKUPS forces the scalar host loop,
+    which remains as the semantics reference."""
+    from ..utils.envflags import env_flag
+    if not env_flag("PLONKY2_TPU_HOST_LOOKUPS"):
+        return compute_lookup_polys_batched(common, prover_data, witness,
+                                            deltas4)
+    return compute_lookup_polys_host(common, prover_data, witness, deltas4)
+
+
+def compute_lookup_polys_host(common, prover_data, witness, deltas4):
+    """Scalar host reference for compute_lookup_polys (one Python int op
+    per slot per row; kept for cross-checking the batched path)."""
     from ..gates.lookup_gates import LookupGate, LookupTableGate
     p = common.spec.p
     degree = common.degree
@@ -223,6 +237,163 @@ def compute_lookup_polys(common, prover_data, witness, deltas4):
                 acc = sum(inv[s] for s in range(s_lo, s_hi)) % p
                 polys[slot + 1][row] = (prev - acc) % p
     return polys
+
+
+_LOOKUP_SCAN_CACHE = {}
+
+
+def _lookup_section_prog(F, R1, R2, S_lut, S_lu, J, max_lut_degree,
+                         max_lookup_degree):
+    """Jitted device program for one lookup section (one LUT's row range).
+
+    Replaces the reference's sequential backward row scan
+    (plonky2/src/plonk/prover.rs:555-674) with TPU-native scans:
+      - RE recurrence re <- re*delta + combo, flattened over (row, slot),
+        is first-order affine with CONSTANT multiplier: per-row Horner
+        (S_lut static muls) gives B_r, then re_r = delta^S * re_{r-1} + B_r
+        runs as a log-depth lax.associative_scan.
+      - Slot denominators invert via the vectorized Fermat chain (one
+        ~100-multiply program over the whole (rows, slots) block — the
+        device analog of the reference's batch_multiplicative_inverse).
+      - The SLDC running value is a pure prefix sum over flattened
+        (row, partial-slot-group) increments: associative_scan with add.
+    Challenges and seeds enter traced, so ONE compile per section shape
+    serves every proof."""
+    import functools
+
+    def scalar(arr, i):
+        return tree_map(lambda a: a[i], arr)
+
+    def run(lut_inp, lut_out, lut_mult, lu_inp, lu_out, d4, seeds):
+        d_a, d_b, d_alpha, d_delta = (scalar(d4, i) for i in range(4))
+        re_seed, sldc_seed = scalar(seeds, 0), scalar(seeds, 1)
+
+        def affine_combine(x, y):
+            # x_k = a_k x_{k-1} + b_k composed left-to-right
+            a1, b1 = x
+            a2, b2 = y
+            return F.mul(a1, a2), F.add(F.mul(b1, a2), b2)
+
+        # ---- RE over LUT rows ----
+        combos = F.add(lut_inp, F.mul(d_b, lut_out))       # (R1, S_lut)
+        B = F.zeros((R1,))
+        A = F.ones(())
+        for s in range(S_lut):
+            B = F.add(F.mul(B, d_delta), combos[:, s])
+            A = F.mul(A, d_delta)
+        # seed folds into the first element: b0' = A*seed + b0
+        B = tree_map(lambda full, first: full.at[0].set(first),
+                     B, F.add(F.mul(A, re_seed), B[0]))
+        a_vec = tree_map(lambda a: jnp.broadcast_to(a, (R1,)
+                                                    + a.shape), A)
+        _, re_vals = jax.lax.associative_scan(affine_combine, (a_vec, B),
+                                              axis=0)
+
+        # ---- SLDC increments ----
+        lut_inv = F.inv(F.sub(d_alpha,
+                              F.add(lut_inp, F.mul(d_a, lut_out))))
+        lu_inv = F.inv(F.sub(d_alpha, F.add(lu_inp, F.mul(d_a, lu_out))))
+        mi = F.mul(lut_mult, lut_inv)                       # (R1, S_lut)
+
+        def group_sums(vals, S, gdeg, negate):
+            cols = []
+            for j in range(J):
+                s_lo, s_hi = j * gdeg, min((j + 1) * gdeg, S)
+                if s_lo >= s_hi:
+                    g = F.zeros((vals.shape[0],))
+                else:
+                    g = F.batch_sum(vals[:, s_lo:s_hi], axis=-1)
+                cols.append(F.neg(g) if negate else g)
+            return cols
+
+        inc_lut = group_sums(mi, S_lut, max_lut_degree, False)
+        inc_lu = group_sums(lu_inv, S_lu, max_lookup_degree, True)
+
+        def stack_cols(cols):
+            # J column vectors (R,) -> (R*J,) in (row, j) scan order
+            return tree_map(lambda *ls: jnp.stack(ls, axis=1).reshape(-1),
+                            *cols)
+
+        # flatten in scan order: all (row, j) of LUT rows, then LU rows
+        flat = fftm.tconcat(
+            [stack_cols(inc_lut)] +
+            ([stack_cols(inc_lu)] if R2 else []), axis=0)
+        prefix = jax.lax.associative_scan(F.add, flat, axis=0)
+        sldc_vals = F.add(prefix, sldc_seed)
+        return re_vals, sldc_vals
+
+    return jax.jit(run)
+
+
+def compute_lookup_polys_batched(common, prover_data, witness, deltas4):
+    """Device-batched compute_lookup_polys: bit-identical to the host
+    scalar reference (tests/test_lookups.py cross-checks)."""
+    from ..gates.lookup_gates import LookupGate, LookupTableGate
+    F = gl_mod if common.spec.name == "goldilocks" else _bb_mod()
+    degree = common.degree
+    num_lu_slots = LookupGate.num_slots_of(common.config)
+    max_lookup_degree = common.config.max_quotient_degree_factor - 1
+    num_partial = -(-num_lu_slots // max_lookup_degree)
+    num_lut_slots = LookupTableGate.num_slots_of(common.config)
+    max_lut_degree = -(-num_lut_slots // num_partial)
+    wv = witness
+
+    lut_inp_w = [LookupTableGate.wire_ith_looked_inp(s)
+                 for s in range(num_lut_slots)]
+    lut_out_w = [LookupTableGate.wire_ith_looked_out(s)
+                 for s in range(num_lut_slots)]
+    lut_mult_w = [LookupTableGate.wire_ith_multiplicity(s)
+                  for s in range(num_lut_slots)]
+    lu_inp_w = [LookupGate.wire_ith_looking_inp(s)
+                for s in range(num_lu_slots)]
+    lu_out_w = [LookupGate.wire_ith_looking_out(s)
+                for s in range(num_lu_slots)]
+
+    d4 = F.from_ints(np.array([d % common.spec.p for d in deltas4],
+                              dtype=np.uint64))
+    polys = np.zeros((num_partial + 1, degree), dtype=np.uint64)
+    for last_lu, last_lut, first_lut in prover_data.lookup_rows:
+        rows_lut = np.arange(first_lut, last_lut - 1, -1)
+        rows_lu = np.arange(last_lut - 1, last_lu - 1, -1)
+        R1, R2 = len(rows_lut), len(rows_lu)
+        key = (F.SPEC.name, R1, R2, num_lut_slots, num_lu_slots,
+               num_partial, max_lut_degree, max_lookup_degree)
+        prog = _LOOKUP_SCAN_CACHE.get(key)
+        if prog is None:
+            prog = _lookup_section_prog(F, R1, R2, num_lut_slots,
+                                        num_lu_slots, num_partial,
+                                        max_lut_degree, max_lookup_degree)
+            _LOOKUP_SCAN_CACHE[key] = prog
+        re_seed = int(polys[0][first_lut + 1]) if first_lut + 1 < degree \
+            else 0
+        sldc_seed = int(polys[num_partial][first_lut + 1]) \
+            if first_lut + 1 < degree else 0
+        re_vals, sldc_vals = prog(
+            F.from_ints(wv[np.ix_(lut_inp_w, rows_lut)].T),
+            F.from_ints(wv[np.ix_(lut_out_w, rows_lut)].T),
+            F.from_ints(wv[np.ix_(lut_mult_w, rows_lut)].T),
+            F.from_ints(wv[np.ix_(lu_inp_w, rows_lu)].T
+                        if R2 else np.zeros((0, num_lu_slots),
+                                            dtype=np.uint64)),
+            F.from_ints(wv[np.ix_(lu_out_w, rows_lu)].T
+                        if R2 else np.zeros((0, num_lu_slots),
+                                            dtype=np.uint64)),
+            d4, F.from_ints(np.array([re_seed, sldc_seed],
+                                     dtype=np.uint64)))
+        polys[0][rows_lut] = F.to_ints(re_vals)
+        sldc = F.to_ints(sldc_vals)
+        sldc_lut = sldc[:R1 * num_partial].reshape(R1, num_partial)
+        sldc_lu = sldc[R1 * num_partial:].reshape(R2, num_partial)
+        for j in range(num_partial):
+            polys[j + 1][rows_lut] = sldc_lut[:, j]
+            if R2:
+                polys[j + 1][rows_lu] = sldc_lu[:, j]
+    return list(polys)
+
+
+def _bb_mod():
+    from ..field import bb
+    return bb
 
 
 def _scalars(F, values: Sequence[int]):

@@ -190,3 +190,33 @@ def test_big_lut_prove_verify():
     proof = data.prove(pw)
     assert proof.public_inputs == [TIP5_256[51], TIP5_256[2]]
     verify(proof, data.verifier_only, data.common)
+
+
+def test_lookup_polys_batched_matches_host(lookup_proof):
+    """The device-scan compute_lookup_polys must be bit-identical to the
+    scalar host reference (reference prover.rs:555-674 semantics)."""
+    import numpy as np
+
+    from plonky2_goldibear_tpu.iop.generator import generate_partial_witness
+    from plonky2_goldibear_tpu.plonk import prover as prover_mod
+    from plonky2_goldibear_tpu.plonk.witness_transfer import WitnessTransfer
+    from plonky2_goldibear_tpu.field import gl
+
+    data, _ = lookup_proof
+    pw = PartialWitness()
+    # rebuild a witness (public inputs 0,5,11 as in the fixture)
+    for t, v in zip(data.prover_only.public_inputs[:3], [0, 5, 11]):
+        pw.set_target(t, v)
+    partition = generate_partial_witness(pw, data.prover_only, data.common)
+    prover_mod.set_lookup_wires(data.prover_only, data.common, partition)
+    wt = WitnessTransfer(gl, partition, data.prover_only, data.common,
+                         dense=True)
+    witness = wt.matrix
+    deltas4 = [123456789, 987654321, 192837465, 1029384756]
+    got = prover_mod.compute_lookup_polys_batched(
+        data.common, data.prover_only, witness, deltas4)
+    want = prover_mod.compute_lookup_polys_host(
+        data.common, data.prover_only, witness, deltas4)
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert np.array_equal(np.asarray(g, dtype=np.uint64),
+                              np.asarray(w, dtype=np.uint64)), f"poly {i}"
